@@ -1,0 +1,145 @@
+"""The Chebyshev filter iteration engine.
+
+The filter is a degree-``n_steps`` Chebyshev polynomial of the shifted
+operator A = -I - (2/s_max) * Laplacian (nondimensionalized by dx_min^2 for
+nondimensional Laplacians), evaluated by the three-term recurrence
+
+    T_0 = f,  T_1 = A f,  T_k = 2 A T_{k-1} - T_{k-2},
+    filtered = sum_k p_k T_k
+
+(reference /root/reference/gcm_filters/filter.py:154-291). Here the recurrence
+is a ``jax.lax.scan`` over the coefficient tail, so the whole filter is one
+XLA computation: every step fuses the shifted Laplacian, the recurrence
+update, and the accumulation into a handful of HBM-bandwidth-bound fused
+loops (or a single Pallas pass when enabled — see ops.pallas).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .filter_spec import FilterSpec
+from .ops.stencil import BGridVectorStencil, CGridVectorOperator, ScalarStencil5
+
+Array = jax.Array
+
+
+def _laplacian_scale(spec: FilterSpec, is_dimensional: bool) -> float:
+    """The constant multiplying the Laplacian inside the shifted operator."""
+    if is_dimensional:
+        return 2.0 / spec.s_max
+    return 2.0 / (spec.s_max * spec.dx_min_sq)
+
+
+def _cast_operator(operator, dtype):
+    """Cast all floating-point leaves of an operator pytree to ``dtype``."""
+
+    def cast(leaf):
+        if isinstance(leaf, (float, int)):
+            return leaf  # python scalars stay compile-time constants
+        leaf = jnp.asarray(leaf)
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map(cast, operator)
+
+
+def scalar_filter_apply(
+    stencil: ScalarStencil5, spec: FilterSpec, field: Array
+) -> Array:
+    """Filter ``field`` (spatial dims last two, leading dims batched)."""
+    dtype = jnp.asarray(field).dtype
+    stencil = _cast_operator(stencil, dtype)
+    lap_scale = _laplacian_scale(spec, stencil.is_dimensional)
+    p = jnp.asarray(np.asarray(spec.p), dtype=dtype)
+
+    def shifted(f: Array) -> Array:
+        return -f - lap_scale * stencil.laplacian(f)
+
+    fbar = stencil.prepare(field)
+    t_prev2 = fbar
+    t_prev1 = shifted(fbar)
+    acc = p[0] * t_prev2 + p[1] * t_prev1
+
+    def step(carry, p_i):
+        acc, t1, t2 = carry
+        t0 = 2.0 * shifted(t1) - t2
+        return (acc + p_i * t0, t0, t1), None
+
+    (acc, _, _), _ = jax.lax.scan(step, (acc, t_prev1, t_prev2), p[2:])
+    return stencil.finalize(acc)
+
+
+def vector_filter_apply(
+    operator: Union[BGridVectorStencil, CGridVectorOperator],
+    spec: FilterSpec,
+    ufield: Array,
+    vfield: Array,
+) -> Tuple[Array, Array]:
+    """Filter a vector field (u, v) in lockstep with a vector Laplacian."""
+    dtype = jnp.asarray(ufield).dtype
+    operator = _cast_operator(operator, dtype)
+    lap_scale = _laplacian_scale(spec, operator.is_dimensional)
+    p = jnp.asarray(np.asarray(spec.p), dtype=dtype)
+
+    def shifted(u: Array, v: Array) -> Tuple[Array, Array]:
+        lu, lv = operator.laplacian(u, v)
+        return -u - lap_scale * lu, -v - lap_scale * lv
+
+    u0, v0 = operator.prepare(ufield, vfield)
+    ut2, vt2 = u0, v0
+    ut1, vt1 = shifted(u0, v0)
+    uacc = p[0] * ut2 + p[1] * ut1
+    vacc = p[0] * vt2 + p[1] * vt1
+
+    def step(carry, p_i):
+        uacc, vacc, ut1, vt1, ut2, vt2 = carry
+        su, sv = shifted(ut1, vt1)
+        ut0 = 2.0 * su - ut2
+        vt0 = 2.0 * sv - vt2
+        return (uacc + p_i * ut0, vacc + p_i * vt0, ut0, vt0, ut1, vt1), None
+
+    (uacc, vacc, *_), _ = jax.lax.scan(
+        step, (uacc, vacc, ut1, vt1, ut2, vt2), p[2:]
+    )
+    return operator.finalize(uacc, vacc)
+
+
+def _pallas_auto(use_pallas: bool | None) -> bool:
+    if use_pallas is not None:
+        return use_pallas
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def make_jitted_scalar_apply(
+    stencil: ScalarStencil5, spec: FilterSpec, use_pallas: bool | None = None
+):
+    """A jitted ``field -> filtered`` closure with the stencil baked in.
+
+    Closing over the stencil (rather than passing it as an argument) lets XLA
+    treat python-float coefficients as immediates — the REGULAR grids compile
+    to pure constant-coefficient stencils with no coefficient loads.
+    """
+    if _pallas_auto(use_pallas):
+        from .ops.pallas import make_pallas_scalar_apply
+
+        fn = make_pallas_scalar_apply(stencil, spec)
+        if fn is not None:
+            return jax.jit(fn)
+    return jax.jit(partial(scalar_filter_apply, stencil, spec))
+
+
+def make_jitted_vector_apply(operator, spec: FilterSpec, use_pallas: bool | None = None):
+    """A jitted ``(u, v) -> (filtered_u, filtered_v)`` closure."""
+    # Vector operators currently run the XLA-fused path; the Pallas coupled
+    # B-grid kernel lands behind the same flag.
+    del use_pallas
+    return jax.jit(partial(vector_filter_apply, operator, spec))

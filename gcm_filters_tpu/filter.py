@@ -1,0 +1,369 @@
+"""The user-facing ``Filter`` class.
+
+API parity with the reference ``gcm_filters.Filter``
+(/root/reference/gcm_filters/filter.py:294-529): same constructor arguments,
+validation/error contract, ``.apply`` / ``.apply_to_vector`` / ``.plot_shape``
+methods — plus TPU-native extensions: an explicit compute ``dtype``, optional
+fused Pallas stepping, and 2-D spatial sharding over a ``jax.sharding.Mesh``
+with halo exchange (see :mod:`gcm_filters_tpu.parallel`).
+
+Inputs are jax/numpy arrays with the spatial dims last (``(..., y, x)``,
+latitude first — dimension order matters for anisotropic grids), plain dicts
+of arrays (the Dataset analogue), or xarray objects when xarray is installed.
+"""
+from __future__ import annotations
+
+import dataclasses
+import warnings
+from dataclasses import field as dc_field
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .engine import (
+    make_jitted_scalar_apply,
+    make_jitted_vector_apply,
+    scalar_filter_apply,
+    vector_filter_apply,
+)
+from .filter_spec import (
+    FilterShape,
+    FilterSpec,
+    TargetSpec,
+    compute_filter_spec,
+    compute_n_steps_default,
+    target_function,
+)
+from .models.grids import GridType, is_area_weighted, is_vector_grid, required_grid_vars
+from .ops.laplacians import build_operator
+
+
+def _maybe_xarray():
+    try:
+        import xarray as xr  # optional dependency
+
+        return xr
+    except ImportError:
+        return None
+
+
+@dataclasses.dataclass
+class Filter:
+    """A diffusion-based smoothing filter for gridded data.
+
+    Parameters
+    ----------
+    filter_scale : float
+        The filter scale (meaning depends on the filter shape).
+    dx_min : float
+        The smallest grid spacing, in the same units as ``filter_scale``.
+    filter_shape : FilterShape
+        GAUSSIAN — target response exp(-(k filter_scale)^2 / 24);
+        TAPER — unity below the transition band, zero above the cutoff.
+    transition_width : float
+        Nondimensional width of the TAPER transition region (> 1).
+    ndim : int
+        Dimensionality of the Laplacian's grid.
+    n_steps : int
+        Number of Chebyshev steps; 0 selects the default heuristic.
+    grid_type : GridType
+        Which grid discretization / Laplacian to use.
+    grid_vars : dict
+        Grid variables required by ``grid_type``
+        (see :func:`required_grid_vars`).
+
+    TPU-native extensions
+    ---------------------
+    dtype : optional jnp dtype
+        Compute precision. ``None`` follows the input's dtype.
+    use_pallas : optional bool
+        Force the fused Pallas TPU step kernel on/off. ``None`` = auto
+        (enabled on TPU backends when supported for the grid type).
+    mesh, spatial_axes :
+        A ``jax.sharding.Mesh`` plus the two mesh-axis names to shard the
+        (y, x) spatial dims over, enabling the halo-exchange domain
+        decomposition. ``None`` axis entries leave that dim unsharded.
+    """
+
+    filter_scale: float
+    dx_min: float
+    filter_shape: FilterShape = FilterShape.GAUSSIAN
+    transition_width: float = np.pi
+    ndim: int = 2
+    n_steps: int = 0
+    grid_type: GridType = GridType.REGULAR
+    grid_vars: dict = dc_field(default_factory=dict, repr=False)
+    dtype: Optional[jnp.dtype] = None
+    use_pallas: Optional[bool] = None
+    mesh: Optional[jax.sharding.Mesh] = dc_field(default=None, repr=False)
+    spatial_axes: Tuple[Optional[str], Optional[str]] = (None, None)
+
+    def __post_init__(self):
+        # Fixed-factor (area-weighted) filtering happens on the unit-spacing
+        # transformed grid, so dx_min must be 1 (reference filter.py:340-346).
+        if is_area_weighted(self.grid_type):
+            if self.dx_min != 1:
+                raise ValueError(
+                    "Provided Laplacian is for simple fixed factor filtering, "
+                    "where transformed field is filtered on a regular grid with "
+                    "dx = dy = 1. dx_min must be set to 1."
+                )
+
+        if self.transition_width <= 1:
+            raise ValueError("Transition width must be > 1.")
+
+        if self.ndim > 2:
+            if self.n_steps < 3:
+                raise ValueError("When ndim > 2, you must set n_steps manually")
+            n_steps_default = self.n_steps  # no default heuristic beyond 2-D
+        else:
+            n_steps_default = compute_n_steps_default(
+                self.ndim,
+                self.filter_shape,
+                self.filter_scale,
+                self.dx_min,
+                self.transition_width,
+            )
+
+        if self.n_steps < 3:
+            self.n_steps = n_steps_default
+
+        if self.n_steps < n_steps_default:
+            warnings.warn(
+                "You have set n_steps below the default. Results might not be accurate.",
+                stacklevel=2,
+            )
+
+        self.filter_spec = compute_filter_spec(
+            self.filter_scale,
+            self.dx_min,
+            self.filter_shape,
+            self.transition_width,
+            self.ndim,
+            self.n_steps,
+        )
+
+        # Build the grid operator (validates grid_vars names and physics).
+        self.operator = build_operator(self.grid_type, self.grid_vars)
+        self._is_vector = is_vector_grid(self.grid_type)
+
+        # Compiled entry points (built lazily, cached per Filter instance).
+        self._jitted_scalar = None
+        self._jitted_vector = None
+
+    # -- compiled paths ------------------------------------------------------
+
+    def _scalar_fn(self):
+        if self._jitted_scalar is None:
+            if self.mesh is not None:
+                from .parallel.sharded import make_sharded_scalar_apply
+
+                self._jitted_scalar = make_sharded_scalar_apply(
+                    self.operator,
+                    self.filter_spec,
+                    self.mesh,
+                    self.spatial_axes,
+                    use_pallas=self.use_pallas,
+                )
+            else:
+                self._jitted_scalar = make_jitted_scalar_apply(
+                    self.operator, self.filter_spec, use_pallas=self.use_pallas
+                )
+        return self._jitted_scalar
+
+    def _vector_fn(self):
+        if self._jitted_vector is None:
+            if self.mesh is not None:
+                from .parallel.sharded import make_sharded_vector_apply
+
+                self._jitted_vector = make_sharded_vector_apply(
+                    self.operator,
+                    self.filter_spec,
+                    self.mesh,
+                    self.spatial_axes,
+                    use_pallas=self.use_pallas,
+                )
+            else:
+                self._jitted_vector = make_jitted_vector_apply(
+                    self.operator, self.filter_spec, use_pallas=self.use_pallas
+                )
+        return self._jitted_vector
+
+    def _coerce(self, arr):
+        x = jnp.asarray(arr)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        return x
+
+    # -- public API ----------------------------------------------------------
+
+    def plot_shape(self, ax=None):
+        """Plot the target filter response and its Chebyshev approximation."""
+        import matplotlib.pyplot as plt
+
+        spec = self.filter_spec
+        F = target_function(
+            self.filter_shape,
+            TargetSpec(spec.s_max, self.filter_scale, self.transition_width),
+        )
+        t = np.linspace(-1, 1, 10001)
+        k = np.sqrt(spec.s_max * (t + 1) / 2)
+        if ax is None:
+            _, ax = plt.subplots()
+        ax.plot(k, F(t), "g", label="target filter", linewidth=4)
+        ax.plot(
+            k,
+            np.polynomial.chebyshev.chebval(t, spec.p),
+            "m",
+            label="approximation",
+            linewidth=4,
+        )
+        ax.axvline(
+            2 * np.pi / self.filter_scale,
+            color="k",
+            label="filter cutoff wavenumber",
+            linewidth=2,
+        )
+        ax.set_xlim(left=0)
+        if self.filter_scale / self.dx_min > 10:
+            ax.set_xlim(right=4 * np.pi / self.filter_scale)
+        ax.set_ylim(bottom=-0.1, top=1.1)
+        ax.set_xlabel("Wavenumber k", fontsize=18)
+        ax.grid(True)
+        ax.legend()
+        return ax
+
+    def apply(self, ds, dims: Optional[Sequence[str]] = None):
+        """Filter data with a scalar Laplacian.
+
+        Parameters
+        ----------
+        ds : array, dict of arrays, xarray.DataArray, or xarray.Dataset
+            Data to filter. Arrays must have the spatial dims last, latitude
+            first among them (``(..., y, x)``); leading dims are batched.
+            For dicts/Datasets every variable carrying both spatial dims is
+            filtered; everything else passes through unchanged.
+        dims : sequence of str, optional
+            Names of the two spatial dimensions (xarray inputs only).
+            Dimension order matters: latitude first.
+        """
+        if self._is_vector:
+            raise ValueError(
+                f"Provided Laplacian {self.grid_type} is a vector Laplacian. "
+                "The ``.apply`` method is only suitable for scalar Laplacians."
+            )
+
+        xr = _maybe_xarray()
+        if xr is not None and isinstance(ds, (xr.DataArray, xr.Dataset)):
+            return self._apply_xarray(ds, dims)
+
+        if isinstance(ds, dict):
+            return self._apply_dict(ds)
+
+        return self._scalar_fn()(self._coerce(ds))
+
+    def _apply_dict(self, ds: Dict):
+        """Dataset-analogue semantics on a plain dict of arrays."""
+        ny_nx = self._spatial_shape()
+        filtered = {}
+        any_filtered = False
+        for key, var in ds.items():
+            arr = np.asarray(var) if not isinstance(var, jax.Array) else var
+            if arr.ndim >= 2 and (ny_nx is None or tuple(arr.shape[-2:]) == ny_nx):
+                filtered[key] = self._scalar_fn()(self._coerce(arr))
+                any_filtered = True
+            else:
+                filtered[key] = var
+        if not any_filtered:
+            warnings.warn(
+                "No variables in the dataset had all of the given "
+                "dimensions, so nothing was filtered.",
+                stacklevel=2,
+            )
+        return filtered
+
+    def _spatial_shape(self) -> Optional[Tuple[int, int]]:
+        for name in required_grid_vars(self.grid_type):
+            v = self.grid_vars.get(name)
+            if v is not None and np.ndim(v) >= 2:
+                return tuple(np.shape(v)[-2:])
+        return None
+
+    def _apply_xarray(self, ds, dims):
+        import xarray as xr
+
+        if dims is None:
+            raise ValueError("xarray inputs require the `dims` argument")
+        dims = list(dims)
+        if len(dims) != 2:
+            raise ValueError("`dims` must name exactly two spatial dimensions")
+
+        if isinstance(ds, xr.Dataset):
+            filtered = ds.copy(deep=True)
+            any_filtered = False
+            for key, var in filtered.variables.items():
+                if all(d in var.dims for d in dims):
+                    filtered[key] = self._apply_xr_dataarray(var, dims)
+                    any_filtered = True
+            if not any_filtered:
+                warnings.warn(
+                    f"No variables in the dataset had all of the given "
+                    f"dimensions ({dims}), so nothing was filtered.",
+                    stacklevel=2,
+                )
+            return filtered
+        return self._apply_xr_dataarray(ds, dims)
+
+    def _apply_xr_dataarray(self, da, dims):
+        import xarray as xr
+
+        fn = self._scalar_fn()
+
+        def _np_fn(x):
+            return np.asarray(fn(self._coerce(x)))
+
+        return xr.apply_ufunc(
+            _np_fn,
+            da,
+            input_core_dims=[dims],
+            output_core_dims=[dims],
+            output_dtypes=[da.dtype],
+            dask="parallelized",
+        )
+
+    def apply_to_vector(self, ufield, vfield, dims: Optional[Sequence[str]] = None):
+        """Filter a vector field (u, v) with a vector Laplacian.
+
+        Dimension order matters: latitude first among the spatial dims.
+        """
+        if not self._is_vector:
+            raise ValueError(
+                f"Provided Laplacian {self.grid_type} is a scalar Laplacian. "
+                "The ``.apply_to_vector`` method is only suitable for vector Laplacians."
+            )
+
+        xr = _maybe_xarray()
+        if xr is not None and isinstance(ufield, xr.DataArray):
+            if dims is None:
+                raise ValueError("xarray inputs require the `dims` argument")
+            dims = list(dims)
+            fn = self._vector_fn()
+
+            def _np_fn(u, v):
+                fu, fv = fn(self._coerce(u), self._coerce(v))
+                return np.asarray(fu), np.asarray(fv)
+
+            return xr.apply_ufunc(
+                _np_fn,
+                ufield,
+                vfield,
+                input_core_dims=2 * [dims],
+                output_core_dims=2 * [dims],
+                output_dtypes=[ufield.dtype, vfield.dtype],
+                dask="parallelized",
+            )
+
+        return self._vector_fn()(self._coerce(ufield), self._coerce(vfield))
