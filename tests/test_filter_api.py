@@ -1,0 +1,206 @@
+"""API/behavior tests for the Filter class.
+
+Mirrors the reference's filter API contract
+(/root/reference/tests/test_filter.py): golden FilterSpec values, n_steps
+floor, end-to-end conservation and variance reduction, error paths, dataset
+semantics, nondimensional invariance, and viscosity-filter solid-body
+conservation.
+"""
+import numpy as np
+import pytest
+
+from gcm_filters_tpu import Filter, FilterShape, FilterSpec, GridType
+from gcm_filters_tpu.filter_spec import compute_filter_spec, compute_n_steps_default
+
+from conftest import make_spherical_geometry, make_vector_grid_data
+
+
+def _check_spec(spec, expected):
+    assert spec.n_steps == expected.n_steps
+    assert spec.s_max == expected.s_max
+    np.testing.assert_allclose(spec.p, expected.p, rtol=1e-07, atol=1e-07)
+    np.testing.assert_allclose(spec.dx_min_sq, expected.dx_min_sq)
+
+
+@pytest.mark.parametrize(
+    "filter_args, expected",
+    [
+        (
+            dict(filter_scale=10.0, dx_min=1.0, filter_shape=FilterShape.GAUSSIAN,
+                 transition_width=np.pi, ndim=2),
+            FilterSpec(
+                n_steps=11,
+                s_max=8.0,
+                p=[0.09887381, -0.19152534, 0.1748326, -0.14975371, 0.12112337,
+                   -0.09198484, 0.0662522, -0.04479323, 0.02895827, -0.0173953,
+                   0.00995974, -0.00454758],
+                dx_min_sq=1.0,
+            ),
+        ),
+        (
+            dict(filter_scale=2.0, dx_min=1.0, filter_shape=FilterShape.TAPER,
+                 transition_width=np.pi, ndim=1),
+            FilterSpec(
+                n_steps=6,
+                s_max=4.0,
+                p=[0.83380304, -0.23622724, -0.06554041, 0.01593978, 0.00481014,
+                   -0.00495532, 0.00168445],
+                dx_min_sq=1.0,
+            ),
+        ),
+    ],
+)
+def test_filter_spec_golden(filter_args, expected):
+    """The hard-coded golden coefficients from the reference test suite."""
+    filt = Filter(grid_vars={}, **filter_args)
+    _check_spec(filt.filter_spec, expected)
+
+
+def test_default_n_steps_floor():
+    assert compute_n_steps_default(2, FilterShape.GAUSSIAN, 1.5, 1, np.pi) >= 3
+
+
+def test_diffusion_filter(scalar_grid_data):
+    """Conservation + strict variance reduction through the full .apply."""
+    grid_type, data, grid_vars = scalar_grid_data
+    filt = Filter(
+        filter_scale=3.0, dx_min=1.0, filter_shape=FilterShape.GAUSSIAN,
+        grid_type=grid_type, grid_vars=grid_vars, use_pallas=False,
+    )
+    import matplotlib
+    matplotlib.use("Agg")
+    filt.plot_shape()
+    filtered = np.asarray(filt.apply(data))
+
+    area = 1
+    for k, v in grid_vars.items():
+        if "area" in k:
+            area = v
+            break
+    np.testing.assert_allclose(
+        (data * area).sum(), (filtered * area).sum(), rtol=1e-10
+    )
+
+    with pytest.raises(ValueError, match=r"Provided Laplacian *"):
+        filt.apply_to_vector(data, data)
+
+    assert (filtered**2).sum() < (data**2).sum()
+
+    # leaving out any required grid var raises
+    for name in list(grid_vars):
+        missing = {k: v for k, v in grid_vars.items() if k != name}
+        with pytest.raises(ValueError, match=r"Provided `grid_vars` .*"):
+            Filter(filter_scale=3.0, dx_min=1.0, grid_type=grid_type,
+                   grid_vars=missing)
+
+
+def test_viscosity_filter(vector_grid_data):
+    """Vector filters pass through solid-body rotation unchanged and reject .apply."""
+    grid_type, (data_u, data_v), grid_vars = vector_grid_data
+    filt = Filter(
+        filter_scale=3.0, dx_min=1.0, grid_type=grid_type, grid_vars=grid_vars,
+        use_pallas=False,
+    )
+    with pytest.raises(ValueError, match=r"Provided Laplacian *"):
+        filt.apply(data_u)
+
+    _, geolat_u, _, _ = make_spherical_geometry()
+    sbr_u = np.cos(geolat_u / 360 * 2 * np.pi)
+    sbr_v = np.zeros_like(sbr_u)
+    fu, fv = (np.asarray(a) for a in filt.apply_to_vector(sbr_u, sbr_v))
+    np.testing.assert_allclose(fu, sbr_u, atol=1e-10)
+    np.testing.assert_allclose(fv, sbr_v, atol=1e-10)
+
+
+def test_transition_width_validation():
+    with pytest.raises(ValueError, match=r"Transition width .*"):
+        Filter(filter_scale=3.0, dx_min=1.0, transition_width=0.9)
+
+
+def test_ndim_gt2_requires_manual_n_steps():
+    with pytest.raises(ValueError, match=r"When ndim > 2 .*|When ndim > 2,.*"):
+        Filter(filter_scale=3.0, dx_min=1.0, ndim=3)
+    # with manual n_steps it works
+    filt = Filter(filter_scale=3.0, dx_min=1.0, ndim=3, n_steps=5)
+    assert filt.n_steps == 5
+
+
+def test_n_steps_below_default_warns():
+    with pytest.warns(UserWarning, match=r"n_steps below default.*|.*below the default.*"):
+        Filter(filter_scale=10.0, dx_min=1.0, n_steps=3)
+
+
+def test_area_weighted_requires_unit_dx_min(scalar_grid_data):
+    grid_type, _, grid_vars = scalar_grid_data
+    from gcm_filters_tpu.models.grids import is_area_weighted
+
+    if not is_area_weighted(grid_type):
+        pytest.skip("only for fixed-factor grids")
+    with pytest.raises(ValueError, match=r".*dx_min must be set to 1.*"):
+        Filter(filter_scale=3.0, dx_min=2.0, grid_type=grid_type,
+               grid_vars=grid_vars)
+
+
+def test_dict_dataset_semantics(scalar_grid_data):
+    """Dict-of-arrays 'dataset': spatial vars filtered, others untouched."""
+    grid_type, data, grid_vars = scalar_grid_data
+    filt = Filter(filter_scale=3.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False)
+    ds = {
+        "sst": data,
+        "time": np.arange(4.0),
+        "batched": np.stack([data, data]),
+    }
+    out = filt.apply(ds)
+    assert not np.allclose(np.asarray(out["sst"]), ds["sst"])
+    assert out["time"] is ds["time"]
+    assert np.asarray(out["batched"]).shape == (2,) + data.shape
+    # spatial mean preserved for unmasked regular grids
+    if grid_type == GridType.REGULAR:
+        np.testing.assert_allclose(
+            np.asarray(out["sst"]).mean(), data.mean(), rtol=1e-12
+        )
+
+
+def test_dict_dataset_warns_when_nothing_filtered():
+    filt = Filter(filter_scale=3.0, dx_min=1.0, use_pallas=False)
+    with pytest.warns(UserWarning, match=r"No variables .*"):
+        filt.apply({"time": np.arange(4.0)})
+
+
+def test_nondimensional_invariance():
+    """(scale, dx) -> (2*scale, 2*dx) leaves the REGULAR filter unchanged."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    data = rng.random((64, 128))
+    f1 = Filter(filter_scale=4.0, dx_min=1.0, use_pallas=False)
+    f2 = Filter(filter_scale=8.0, dx_min=2.0, use_pallas=False)
+    np.testing.assert_allclose(
+        np.asarray(f1.apply(data)), np.asarray(f2.apply(data)), rtol=1e-10
+    )
+
+
+def test_filter_repr_and_spec_attrs():
+    filt = Filter(filter_scale=4.0, dx_min=1.0)
+    assert filt.filter_spec.n_steps == filt.n_steps
+    assert "Filter" in repr(filt)
+
+
+def test_taper_filter_end_to_end():
+    rng = np.random.Generator(np.random.PCG64(9))
+    data = rng.random((64, 128))
+    filt = Filter(filter_scale=6.0, dx_min=1.0, filter_shape=FilterShape.TAPER,
+                  use_pallas=False)
+    out = np.asarray(filt.apply(data))
+    np.testing.assert_allclose(out.mean(), data.mean(), rtol=1e-9)
+    assert (out**2).sum() < (data**2).sum()
+
+
+def test_float32_path():
+    """f32 inputs compute in f32 and stay close to the f64 answer."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    data64 = rng.random((64, 128))
+    filt = Filter(filter_scale=4.0, dx_min=1.0, use_pallas=False)
+    out64 = np.asarray(filt.apply(data64))
+    out32 = np.asarray(filt.apply(data64.astype(np.float32)))
+    assert out32.dtype == np.float32
+    np.testing.assert_allclose(out32, out64, rtol=2e-4, atol=2e-5)
