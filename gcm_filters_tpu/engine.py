@@ -50,16 +50,22 @@ def _cast_operator(operator, dtype):
 
 
 def scalar_filter_apply(
-    stencil: ScalarStencil5, spec: FilterSpec, field: Array
+    stencil: ScalarStencil5, spec: FilterSpec, field: Array, laplacian_fn=None
 ) -> Array:
-    """Filter ``field`` (spatial dims last two, leading dims batched)."""
+    """Filter ``field`` (spatial dims last two, leading dims batched).
+
+    ``laplacian_fn`` overrides the stencil's local periodic laplacian (the
+    sharded engine injects a halo-exchanging one).
+    """
     dtype = jnp.asarray(field).dtype
     stencil = _cast_operator(stencil, dtype)
+    if laplacian_fn is None:
+        laplacian_fn = stencil.laplacian
     lap_scale = _laplacian_scale(spec, stencil.is_dimensional)
     p = jnp.asarray(np.asarray(spec.p), dtype=dtype)
 
     def shifted(f: Array) -> Array:
-        return -f - lap_scale * stencil.laplacian(f)
+        return -f - lap_scale * laplacian_fn(f)
 
     fbar = stencil.prepare(field)
     t_prev2 = fbar
@@ -80,15 +86,18 @@ def vector_filter_apply(
     spec: FilterSpec,
     ufield: Array,
     vfield: Array,
+    laplacian_fn=None,
 ) -> Tuple[Array, Array]:
     """Filter a vector field (u, v) in lockstep with a vector Laplacian."""
     dtype = jnp.asarray(ufield).dtype
     operator = _cast_operator(operator, dtype)
+    if laplacian_fn is None:
+        laplacian_fn = operator.laplacian
     lap_scale = _laplacian_scale(spec, operator.is_dimensional)
     p = jnp.asarray(np.asarray(spec.p), dtype=dtype)
 
     def shifted(u: Array, v: Array) -> Tuple[Array, Array]:
-        lu, lv = operator.laplacian(u, v)
+        lu, lv = laplacian_fn(u, v)
         return -u - lap_scale * lu, -v - lap_scale * lv
 
     u0, v0 = operator.prepare(ufield, vfield)

@@ -107,15 +107,21 @@ class ScalarStencil5:
             out = self.post * out
         return out
 
-    def laplacian(self, f: Array) -> Array:
-        """Apply the Laplacian on the full (periodic/folded) domain."""
+    def laplacian(self, f: Array, shift=None, north=None) -> Array:
+        """Apply the Laplacian on the full (periodic/folded) domain.
+
+        ``shift(g, s, axis)`` / ``north(g)`` default to local periodic rolls;
+        the sharded engine injects halo-exchanging equivalents
+        (parallel.halo) so single-device and decomposed execution share this
+        exact arithmetic.
+        """
+        if shift is None:
+            shift = jnp.roll
+        if north is None:
+            north = lambda g: north_neighbor(g, self.fold_north)
         g = self.gather_input(f)
         return self.contract(
-            g,
-            north_neighbor(g, self.fold_north),
-            south_neighbor(g),
-            east_neighbor(g),
-            west_neighbor(g),
+            g, north(g), shift(g, 1, -2), shift(g, -1, -1), shift(g, 1, -1)
         )
 
     __call__ = laplacian
@@ -156,25 +162,27 @@ class BGridVectorStencil:
     zap_nans: bool = _static(True)
     fold_north: bool = _static(False)
 
-    def _s5(self, f, c, n, s, e, w):
+    def _s5(self, f, c, n, s, e, w, shift):
         return (
             c * f
-            + n * jnp.roll(f, -1, axis=-2)
-            + s * jnp.roll(f, 1, axis=-2)
-            + e * jnp.roll(f, -1, axis=-1)
-            + w * jnp.roll(f, 1, axis=-1)
+            + n * shift(f, -1, -2)
+            + s * shift(f, 1, -2)
+            + e * shift(f, -1, -1)
+            + w * shift(f, 1, -1)
         )
 
-    def laplacian(self, u: Array, v: Array) -> Tuple[Array, Array]:
+    def laplacian(self, u: Array, v: Array, shift=None) -> Tuple[Array, Array]:
+        if shift is None:
+            shift = jnp.roll
         if self.zap_nans:
             u = jnp.nan_to_num(u)
             v = jnp.nan_to_num(v)
-        u_out = self._s5(u, self.cc, self.dun, self.dus, self.due, self.duw) + self._s5(
-            v, self.dmc, self.dmn, self.dms, self.dme, self.dmw
-        )
-        v_out = self._s5(v, self.cc, self.dun, self.dus, self.due, self.duw) + self._s5(
-            u, self.dmc, self.dmn, self.dms, self.dme, self.dmw
-        )
+        u_out = self._s5(
+            u, self.cc, self.dun, self.dus, self.due, self.duw, shift
+        ) + self._s5(v, self.dmc, self.dmn, self.dms, self.dme, self.dmw, shift)
+        v_out = self._s5(
+            v, self.cc, self.dun, self.dus, self.due, self.duw, shift
+        ) + self._s5(u, self.dmc, self.dmn, self.dms, self.dme, self.dmw, shift)
         return u_out, v_out
 
     __call__ = laplacian
@@ -220,7 +228,9 @@ class CGridVectorOperator:
     zap_nans: bool = _static(True)
     fold_north: bool = _static(False)
 
-    def laplacian(self, u: Array, v: Array) -> Tuple[Array, Array]:
+    def laplacian(self, u: Array, v: Array, shift=None) -> Tuple[Array, Array]:
+        if shift is None:
+            shift = jnp.roll
         if self.zap_nans:
             u = jnp.nan_to_num(u)
             v = jnp.nan_to_num(v)
@@ -229,29 +239,29 @@ class CGridVectorOperator:
         u_dy = u * self.r_dyCu
         v_dx = v * self.r_dxCv
         str_xx = -self.kappa_tension * (
-            self.dy_dxT * (u_dy - jnp.roll(u_dy, 1, axis=-1))
-            - self.dx_dyT * (v_dx - jnp.roll(v_dx, 1, axis=-2))
+            self.dy_dxT * (u_dy - shift(u_dy, 1, -1))
+            - self.dx_dyT * (v_dx - shift(v_dx, 1, -2))
         )
         v_dy = v * self.r_dyCv
         u_dx = u * self.r_dxCu
         str_xy = -self.kappa_iso * (
-            self.dy_dxBu * (jnp.roll(v_dy, -1, axis=-1) - v_dy)
-            + self.dx_dyBu * (jnp.roll(u_dx, -1, axis=-2) - u_dx)
+            self.dy_dxBu * (shift(v_dy, -1, -1) - v_dy)
+            + self.dx_dyBu * (shift(u_dx, -1, -2) - u_dx)
         )
 
         # Stage 2: divergence of the stress tensor back to u/v points.
         a = self.dy2h * str_xx
         b = self.dx2q * str_xy
         u_out = (
-            self.r_dyCu * (a - jnp.roll(a, -1, axis=-1))
-            + self.r_dxCu * (jnp.roll(b, 1, axis=-2) - b)
+            self.r_dyCu * (a - shift(a, -1, -1))
+            + self.r_dxCu * (shift(b, 1, -2) - b)
         ) * self.recip_area_u
 
         c = self.dy2q * str_xy
         d = self.dx2h * str_xx
         v_out = (
-            self.r_dyCv * (jnp.roll(c, 1, axis=-1) - c)
-            - self.r_dxCv * (d - jnp.roll(d, -1, axis=-2))
+            self.r_dyCv * (shift(c, 1, -1) - c)
+            - self.r_dxCv * (d - shift(d, -1, -2))
         ) * self.recip_area_v
 
         return u_out, v_out

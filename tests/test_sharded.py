@@ -1,0 +1,105 @@
+"""Distributed-execution tests: sharded filter == unsharded filter, allclose.
+
+Runs on 8 virtual CPU devices (conftest sets
+--xla_force_host_platform_device_count=8). This is the distributed-testing
+story the reference lacks (SURVEY.md §4): the same fixtures, decomposed over
+a 2-D (y, x) mesh — including the tripolar north-fold seam across device
+boundaries — must reproduce single-device results.
+"""
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from gcm_filters_tpu import Filter, GridType
+from gcm_filters_tpu.models.grids import is_vector_grid
+
+
+def _mesh(ydevs, xdevs, batch=None):
+    devs = np.array(jax.devices()[: ydevs * xdevs * (batch or 1)])
+    if batch:
+        return Mesh(devs.reshape(batch, ydevs, xdevs), ("b", "y", "x"))
+    return Mesh(devs.reshape(ydevs, xdevs), ("y", "x"))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (8, 1), (1, 8), (2, 2)])
+def test_sharded_scalar_matches_unsharded(scalar_grid_data, mesh_shape):
+    grid_type, data, grid_vars = scalar_grid_data
+    base = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False)
+    expected = np.asarray(base.apply(data))
+
+    mesh = _mesh(*mesh_shape)
+    filt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False,
+                  mesh=mesh, spatial_axes=("y", "x"))
+    got = np.asarray(filt.apply(data))
+    np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_tripolar_seam(tripolar_grid_data):
+    """Fold seam must be exact when the top row is split across devices."""
+    grid_type, data, grid_vars = tripolar_grid_data
+    mesh = _mesh(2, 4)
+    filt = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False,
+                  mesh=mesh, spatial_axes=("y", "x"))
+    base = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False)
+    np.testing.assert_allclose(
+        np.asarray(filt.apply(data)), np.asarray(base.apply(data)),
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+def test_sharded_vector_matches_unsharded(vector_grid_data):
+    grid_type, (u, v), grid_vars = vector_grid_data
+    base = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False)
+    eu, ev = (np.asarray(a) for a in base.apply_to_vector(u, v))
+
+    mesh = _mesh(2, 4)
+    filt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False,
+                  mesh=mesh, spatial_axes=("y", "x"))
+    gu, gv = (np.asarray(a) for a in filt.apply_to_vector(u, v))
+    np.testing.assert_allclose(gu, eu, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(gv, ev, rtol=1e-9, atol=1e-11)
+
+
+def test_sharded_batched_leading_dims(scalar_grid_data):
+    grid_type, data, grid_vars = scalar_grid_data
+    batch = np.stack([data, 2 * data + 1, -data])
+    base = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False)
+    mesh = _mesh(2, 4)
+    filt = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False,
+                  mesh=mesh, spatial_axes=("y", "x"))
+    np.testing.assert_allclose(
+        np.asarray(filt.apply(batch)), np.asarray(base.apply(batch)),
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+def test_sharded_y_only_and_x_only(scalar_grid_data):
+    """Partial decomposition: shard only one spatial axis."""
+    grid_type, data, grid_vars = scalar_grid_data
+    base = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False)
+    expected = np.asarray(base.apply(data))
+
+    devs = np.array(jax.devices()[:4])
+    mesh_y = Mesh(devs.reshape(4), ("y",))
+    filt_y = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                    grid_vars=grid_vars, use_pallas=False,
+                    mesh=mesh_y, spatial_axes=("y", None))
+    np.testing.assert_allclose(np.asarray(filt_y.apply(data)), expected,
+                               rtol=1e-10, atol=1e-12)
+
+    mesh_x = Mesh(devs.reshape(4), ("x",))
+    filt_x = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                    grid_vars=grid_vars, use_pallas=False,
+                    mesh=mesh_x, spatial_axes=(None, "x"))
+    np.testing.assert_allclose(np.asarray(filt_x.apply(data)), expected,
+                               rtol=1e-10, atol=1e-12)
