@@ -100,6 +100,7 @@ class Filter:
     use_pallas: Optional[bool] = None
     mesh: Optional[jax.sharding.Mesh] = dc_field(default=None, repr=False)
     spatial_axes: Tuple[Optional[str], Optional[str]] = (None, None)
+    batch_axis: Optional[str] = None
 
     def __post_init__(self):
         # Fixed-factor (area-weighted) filtering happens on the unit-spacing
@@ -167,6 +168,7 @@ class Filter:
                     self.mesh,
                     self.spatial_axes,
                     use_pallas=self.use_pallas,
+                    batch_axis=self.batch_axis,
                 )
             else:
                 self._jitted_scalar = make_jitted_scalar_apply(
@@ -185,6 +187,7 @@ class Filter:
                     self.mesh,
                     self.spatial_axes,
                     use_pallas=self.use_pallas,
+                    batch_axis=self.batch_axis,
                 )
             else:
                 self._jitted_vector = make_jitted_vector_apply(
