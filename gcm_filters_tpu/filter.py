@@ -101,6 +101,7 @@ class Filter:
     mesh: Optional[jax.sharding.Mesh] = dc_field(default=None, repr=False)
     spatial_axes: Tuple[Optional[str], Optional[str]] = (None, None)
     batch_axis: Optional[str] = None
+    halo_steps: Optional[int] = None  # Chebyshev steps per halo exchange round
 
     def __post_init__(self):
         # Fixed-factor (area-weighted) filtering happens on the unit-spacing
@@ -169,6 +170,7 @@ class Filter:
                     self.spatial_axes,
                     use_pallas=self.use_pallas,
                     batch_axis=self.batch_axis,
+                    halo_steps=self.halo_steps,
                 )
             else:
                 self._jitted_scalar = make_jitted_scalar_apply(
@@ -188,6 +190,7 @@ class Filter:
                     self.spatial_axes,
                     use_pallas=self.use_pallas,
                     batch_axis=self.batch_axis,
+                    halo_steps=self.halo_steps,
                 )
             else:
                 self._jitted_vector = make_jitted_vector_apply(

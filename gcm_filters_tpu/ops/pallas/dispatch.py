@@ -26,6 +26,7 @@ import numpy as np
 
 from ...filter_spec import FilterSpec
 from ..stencil import ScalarStencil5
+from .cheb_pass import build_cheb_pass, plan_passes, _coef_arrays
 from .cheb_step import build_cheb_step
 
 
@@ -58,23 +59,50 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
         return None  # unsupported masking pattern: XLA path handles it
     land_gain = float(np.polynomial.chebyshev.chebval(-1.0, p_host))
 
-    def apply_fn(field):
-        field = jnp.asarray(field)
-        dtype = field.dtype
-        if field.ndim != 2 or not jnp.issubdtype(dtype, jnp.floating):
-            return scalar_filter_apply(stencil, spec, field)
-
+    def _run_multistep(hot, st, field, dtype):
+        """Temporally blocked passes (cheb_pass.py); None if not applicable."""
         ny, nx = field.shape
-        st = _cast_operator(stencil, dtype)
         scale = _lap_scale(spec, st.is_dimensional)
+        plan = plan_passes(
+            ny,
+            nx,
+            n_steps=spec.n_steps,
+            n_coef=len(_coef_arrays(hot)),
+            has_post=hot.post is not None,
+            itemsize=np.dtype(dtype).itemsize,
+        )
+        if plan is None:
+            return None
+
+        p = jnp.asarray(p_host, dtype=dtype)
+        fbar = st.prepare(field)
+        h = st.pre * jnp.nan_to_num(fbar) if drop_pre else fbar
+
+        state = (h,)
+        off = 0
+        for m, n_ops in enumerate(plan.steps):
+            first = m == 0
+            last = m == len(plan.steps) - 1
+            pass_fn = build_cheb_pass(
+                hot, scale, ny, nx, dtype, plan, n_ops, first, last
+            )
+            n_p = n_ops + 1 if first else n_ops
+            out = pass_fn(p[off : off + n_p], *state)
+            off += n_p
+            state = (out,) if last else (out[0], out[1], out[2])
+        acc = state[0]
 
         if drop_pre:
-            hot = dataclasses.replace(st, pre=None, zap_nans=False)
-        else:
-            hot = st
+            acc = jnp.where(st.pre == 0, land_gain * fbar, acc)
+        return st.finalize(acc)
+
+    def _run_singlestep(hot, st, field, dtype):
+        """One fused kernel per step (cheb_step.py); None if not applicable."""
+        ny, nx = field.shape
+        scale = _lap_scale(spec, st.is_dimensional)
         step = build_cheb_step(hot, scale, ny, nx, dtype)
         if step is None:
-            return scalar_filter_apply(stencil, spec, field)
+            return None
 
         p = jnp.asarray(p_host, dtype=dtype)
         fbar = st.prepare(field)
@@ -94,5 +122,36 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
         if drop_pre:
             acc = jnp.where(st.pre == 0, land_gain * fbar, acc)
         return st.finalize(acc)
+
+    def _apply_2d(field):
+        dtype = field.dtype
+        st = _cast_operator(stencil, dtype)
+        if drop_pre:
+            # cheb_pass pre-gathers coefficients on host, so it needs the
+            # original (concrete numpy) stencil, not trace-time casts.
+            hot_host = dataclasses.replace(stencil, pre=None, zap_nans=False)
+            hot = dataclasses.replace(st, pre=None, zap_nans=False)
+        else:
+            hot_host, hot = stencil, st
+        out = _run_multistep(hot_host, st, field, dtype)
+        if out is None:
+            out = _run_singlestep(hot, st, field, dtype)
+        if out is None:
+            out = scalar_filter_apply(stencil, spec, field)
+        return out
+
+    def apply_fn(field):
+        field = jnp.asarray(field)
+        if not jnp.issubdtype(field.dtype, jnp.floating):
+            return scalar_filter_apply(stencil, spec, field)
+        if field.ndim == 2:
+            return _apply_2d(field)
+        if field.ndim > 2:
+            # Batched: vmap the 2-D path over flattened leading dims.
+            lead = field.shape[:-2]
+            flat = field.reshape((-1,) + field.shape[-2:])
+            out = jax.vmap(_apply_2d)(flat)
+            return out.reshape(lead + out.shape[-2:])
+        return scalar_filter_apply(stencil, spec, field)
 
     return apply_fn

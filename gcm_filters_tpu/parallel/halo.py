@@ -85,6 +85,71 @@ def fold_row(
     return partner[..., ::-1]
 
 
+def _take(f: Array, sl: slice, axis: int) -> Array:
+    idx = [slice(None)] * f.ndim
+    idx[axis] = sl
+    return f[tuple(idx)]
+
+
+def extend_x(f: Array, k: int, x_axis: Tuple[Optional[str], int]) -> Array:
+    """Extend the last axis by k-cell periodic halos: (..., lx) -> (..., lx+2k).
+
+    West halo = west neighbor's last k columns (one ppermute up the ring),
+    east halo = east neighbor's first k columns. Unsharded x wraps locally.
+    """
+    x_name, x_size = x_axis
+    lo, hi = _take(f, slice(-k, None), -1), _take(f, slice(None, k), -1)
+    if x_name is not None and x_size > 1:
+        lo = lax.ppermute(lo, x_name, _ring_perm(x_size, True))
+        hi = lax.ppermute(hi, x_name, _ring_perm(x_size, False))
+    return jnp.concatenate([lo, f, hi], axis=-1)
+
+
+def exchange_2d(
+    f: Array,
+    k: int,
+    y_axis: Tuple[Optional[str], int],
+    x_axis: Tuple[Optional[str], int],
+    fold_north: bool = False,
+    fold_src: Optional[Array] = None,
+) -> Array:
+    """Extend (..., ly, lx) by k-cell halos on both spatial axes.
+
+    Two-phase exchange: x first, then y over the x-extended strips so corner
+    data rides along (a k-step trapezoid of a radius-1 stencil reaches the
+    diagonal neighbors' corners). With ``fold_north``, the north halo of the
+    top mesh row is the tripolar seam partner's strip, reversed in x and
+    flipped in y (ext row ny-1+m = real row ny-m reversed — the k-row
+    generalization of the reference's mirror-append, kernels.py:33-40).
+    ``fold_src`` supplies a different source array for the fold chunk: the
+    seam reflection swaps the n<->s and e<->w stencil coefficients, so
+    coefficient arrays fold from their swapped partner.
+    """
+    y_name, y_size = y_axis
+    x_name, x_size = x_axis
+    fx = extend_x(f, k, x_axis)
+
+    south = _take(fx, slice(-k, None), -2)
+    north = _take(fx, slice(None, k), -2)
+    if y_name is not None and y_size > 1:
+        south = lax.ppermute(south, y_name, _ring_perm(y_size, True))
+        north = lax.ppermute(north, y_name, _ring_perm(y_size, False))
+
+    if fold_north:
+        src_x = fx if fold_src is None else extend_x(fold_src, k, x_axis)
+        chunk = _take(src_x, slice(-k, None), -2)[..., ::-1, ::-1]
+        if x_name is not None and x_size > 1:
+            pairs = [(i, x_size - 1 - i) for i in range(x_size)]
+            chunk = lax.ppermute(chunk, x_name, pairs)
+        if y_name is not None and y_size > 1:
+            is_top = lax.axis_index(y_name) == y_size - 1
+            north = jnp.where(is_top, chunk, north)
+        else:
+            north = chunk
+
+    return jnp.concatenate([south, fx, north], axis=-2)
+
+
 def north_neighbor_sharded(
     g: Array,
     fold_north: bool,

@@ -2,13 +2,21 @@
 
 This is the capability the reference lacks entirely (its spatial dims must
 fit in a single dask chunk, reference filter.py:478-486): the (y, x) field is
-sharded over a ``jax.sharding.Mesh``, the whole Chebyshev iteration runs
-inside ONE ``shard_map`` (so only 1-cell halo rows/columns move over the
-interconnect, once per neighbor access per step), and the tripolar fold is a
-reversed ppermute pairing among top-row devices (parallel.halo.fold_row).
+sharded over a ``jax.sharding.Mesh`` and the whole Chebyshev iteration runs
+inside ONE ``shard_map``.
 
-The per-shard arithmetic is *identical* to single-device execution (the same
-``ops.stencil`` operators with a halo-exchanging shift injected), so sharded
+Communication is *round-based* (wide halos): instead of one ppermute per
+neighbor access per step (~5 collectives/step), each round exchanges a
+``reach * k``-cell halo once (two ppermute phases, corners riding the second)
+and then advances the recurrence k steps purely locally on the halo-extended
+block — the same trapezoid schedule the Pallas kernel uses across row blocks
+(ops/pallas/cheb_pass.py), here applied across devices. The tripolar fold is
+a reversed pairing permute among top-row devices with the k-row mirror rule,
+and the stencil coefficients are halo-extended once per call with the seam's
+n<->s / e<->w coefficient swap baked into their fold chunks.
+
+The per-cell arithmetic inside a round is *identical* to single-device
+execution (same shifted-operator form, same elementwise order), so sharded
 results match unsharded ones to roundoff.
 
 Leading batch dims stay local to each shard unless ``batch_axis`` names a
@@ -17,11 +25,13 @@ XLA program).
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.8
@@ -29,12 +39,21 @@ try:  # jax >= 0.8
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..engine import scalar_filter_apply, vector_filter_apply
+from ..engine import _laplacian_scale
 from ..filter_spec import FilterSpec
-from ..ops.stencil import ScalarStencil5
+from ..ops.stencil import BGridVectorStencil, CGridVectorOperator, ScalarStencil5
 from . import halo
 
 Array = jax.Array
+
+# How far one operator application propagates information (cells per step):
+# radius-1 5-point stencils reach 1; the C-grid viscosity operator is a
+# two-stage stencil (strain then divergence) so a local-rolls implementation
+# consumes 2 halo cells per application.
+_REACH = {ScalarStencil5: 1, BGridVectorStencil: 1, CGridVectorOperator: 2}
+
+# The tripolar seam reflection swaps the meaning of the stencil neighbors.
+_FOLD_SWAP = {"c": "c", "n": "s", "s": "n", "e": "w", "w": "e"}
 
 
 def _axis_size(mesh: Mesh, name: Optional[str]) -> int:
@@ -50,27 +69,6 @@ def _leaf_spec(leaf, yax, xax):
     return P()
 
 
-def _make_shift(mesh: Mesh, yax: Optional[str], xax: Optional[str]):
-    y_size, x_size = _axis_size(mesh, yax), _axis_size(mesh, xax)
-
-    def shift(f, s, axis):
-        name, size = (yax, y_size) if axis in (-2, f.ndim - 2) else (xax, x_size)
-        return halo.shifted(f, s, axis, name, size)
-
-    return shift
-
-
-def _make_north(mesh: Mesh, yax, xax, fold_north: bool):
-    y_size, x_size = _axis_size(mesh, yax), _axis_size(mesh, xax)
-
-    def north(g):
-        return halo.north_neighbor_sharded(
-            g, fold_north, (yax, y_size), (xax, x_size)
-        )
-
-    return north
-
-
 def _normalize(field):
     """Flatten leading dims to one batch dim; return (arr3d, restore_fn)."""
     field = jnp.asarray(field)
@@ -83,6 +81,75 @@ def _normalize(field):
     return flat, lambda out: out.reshape(lead + out.shape[-2:])
 
 
+def _plan_rounds(n_steps: int, reach: int, ly: int, lx: int,
+                 halo_steps: Optional[int]) -> Tuple[int, ...]:
+    """Split n_steps operator applications into rounds of at most k each.
+
+    k is capped so the halo (reach*k cells) stays well under the local block
+    (redundant trapezoid compute ~ (1 + 2*reach*k/l)^2) and halo slices fit.
+    """
+    if halo_steps is not None:
+        k = max(1, halo_steps)
+    else:
+        k = max(1, min(8, min(ly, lx) // (4 * reach)))
+    k = min(k, n_steps, max(1, min(ly, lx) // reach))
+    out = []
+    remaining = n_steps
+    while remaining > 0:
+        s = min(k, remaining)
+        out.append(s)
+        remaining -= s
+    return tuple(out)
+
+
+def _extend_scalar_stencil(
+    st: ScalarStencil5, cells: int, y_axis, x_axis
+) -> ScalarStencil5:
+    """Halo-extend every spatial coefficient of a scalar stencil by ``cells``.
+
+    On fold grids the north halo rows of the coefficients come from the seam
+    partner's *swapped* coefficient (reflection maps n<->s, e<->w), which is
+    what keeps intermediate trapezoid steps exact across the seam. The
+    returned stencil is purely local: fold_north is cleared (the halos carry
+    the seam) and area is dropped (prepare/finalize act on core data only).
+    """
+    fold = st.fold_north
+
+    def ext(v, swap_v):
+        # python-float coefficients arrive as 0-d tracers through shard_map
+        if v is None or isinstance(v, (int, float)) or getattr(v, "ndim", 0) < 2:
+            return v
+        src = None
+        if fold and swap_v is not v:
+            src = jnp.broadcast_to(jnp.asarray(swap_v, v.dtype), v.shape) \
+                if isinstance(swap_v, (int, float)) else swap_v
+        return halo.exchange_2d(v, cells, y_axis, x_axis, fold, src)
+
+    coefs = {
+        k: ext(getattr(st, k), getattr(st, _FOLD_SWAP[k]))
+        for k in ("c", "n", "s", "e", "w")
+    }
+    return dataclasses.replace(
+        st,
+        **coefs,
+        pre=ext(st.pre, st.pre),
+        post=ext(st.post, st.post),
+        area=None,
+        fold_north=False,
+    )
+
+
+def _extend_vector_operator(op, cells: int, y_axis, x_axis):
+    """Halo-extend every array leaf of a vector operator (never fold grids)."""
+
+    def ext(v):
+        if hasattr(v, "ndim") and v.ndim >= 2:
+            return halo.exchange_2d(v, cells, y_axis, x_axis)
+        return v
+
+    return jax.tree_util.tree_map(ext, op)
+
+
 def make_sharded_scalar_apply(
     stencil: ScalarStencil5,
     spec: FilterSpec,
@@ -90,19 +157,60 @@ def make_sharded_scalar_apply(
     spatial_axes: Tuple[Optional[str], Optional[str]],
     use_pallas: Optional[bool] = None,
     batch_axis: Optional[str] = None,
+    halo_steps: Optional[int] = None,
 ):
     """Compile ``field -> filtered`` with the domain sharded over ``mesh``."""
-    del use_pallas  # the sharded inner step currently runs the XLA-fused path
+    del use_pallas  # the sharded local step currently runs the XLA-fused path
     yax, xax = spatial_axes
-    shift = _make_shift(mesh, yax, xax)
-    north = _make_north(mesh, yax, xax, stencil.fold_north)
+    y_axis = (yax, _axis_size(mesh, yax))
+    x_axis = (xax, _axis_size(mesh, xax))
+    lap_scale = _laplacian_scale(spec, stencil.is_dimensional)
+    p_host = np.asarray(spec.p)
 
     op_specs = jax.tree_util.tree_map(lambda l: _leaf_spec(l, yax, xax), stencil)
     field_spec = P(batch_axis, yax, xax)
 
-    def _local(stencil_local, field_local):
-        lap = partial(stencil_local.laplacian, shift=shift, north=north)
-        return scalar_filter_apply(stencil_local, spec, field_local, laplacian_fn=lap)
+    def _local(st: ScalarStencil5, field: Array) -> Array:
+        dtype = field.dtype
+        ly, lx = field.shape[-2:]
+        p = jnp.asarray(p_host, dtype=dtype)
+        rounds = _plan_rounds(spec.n_steps, 1, ly, lx, halo_steps)
+        cells = max(rounds)
+
+        ext_st = _extend_scalar_stencil(st, cells, y_axis, x_axis)
+        core = lambda a: a[..., cells:-cells, cells:-cells]
+
+        def shifted(t: Array) -> Array:
+            # identical form to engine.scalar_filter_apply, on extended blocks
+            lap = ext_st.laplacian(
+                t, shift=jnp.roll, north=lambda g: jnp.roll(g, -1, -2)
+            )
+            return -t - lap_scale * lap
+
+        fold = st.fold_north
+        fbar = st.prepare(field)
+
+        acc = None
+        cur = prev = None
+        off = 0
+        for m, n_ops in enumerate(rounds):
+            if m == 0:
+                prev = halo.exchange_2d(fbar, cells, y_axis, x_axis, fold)
+                cur = shifted(prev)
+                acc = p[0] * core(prev) + p[1] * core(cur)
+                n_rec, p_off = n_ops - 1, 2
+            else:
+                stacked = jnp.stack([core(cur), core(prev)])
+                ext = halo.exchange_2d(stacked, cells, y_axis, x_axis, fold)
+                cur, prev = ext[0], ext[1]
+                n_rec, p_off = n_ops, 0
+            for j in range(n_rec):
+                nxt = 2.0 * shifted(cur) - prev
+                acc = acc + p[off + p_off + j] * core(nxt)
+                prev, cur = cur, nxt
+            off += n_ops + 1 if m == 0 else n_ops
+
+        return st.finalize(acc)
 
     sharded = shard_map(
         _local,
@@ -127,18 +235,63 @@ def make_sharded_vector_apply(
     spatial_axes: Tuple[Optional[str], Optional[str]],
     use_pallas: Optional[bool] = None,
     batch_axis: Optional[str] = None,
+    halo_steps: Optional[int] = None,
 ):
     """Compile ``(u, v) -> (filtered_u, filtered_v)`` sharded over ``mesh``."""
     del use_pallas
     yax, xax = spatial_axes
-    shift = _make_shift(mesh, yax, xax)
+    y_axis = (yax, _axis_size(mesh, yax))
+    x_axis = (xax, _axis_size(mesh, xax))
+    lap_scale = _laplacian_scale(spec, operator.is_dimensional)
+    reach = _REACH[type(operator)]
+    p_host = np.asarray(spec.p)
 
     op_specs = jax.tree_util.tree_map(lambda l: _leaf_spec(l, yax, xax), operator)
     field_spec = P(batch_axis, yax, xax)
 
-    def _local(op_local, u_local, v_local):
-        lap = partial(op_local.laplacian, shift=shift)
-        return vector_filter_apply(op_local, spec, u_local, v_local, laplacian_fn=lap)
+    def _local(op, u: Array, v: Array) -> Tuple[Array, Array]:
+        dtype = u.dtype
+        ly, lx = u.shape[-2:]
+        p = jnp.asarray(p_host, dtype=dtype)
+        rounds = _plan_rounds(spec.n_steps, reach, ly, lx, halo_steps)
+        cells = max(rounds) * reach
+
+        ext_op = _extend_vector_operator(op, cells, y_axis, x_axis)
+        core = lambda a: a[..., cells:-cells, cells:-cells]
+
+        def shifted(tu: Array, tv: Array) -> Tuple[Array, Array]:
+            lu, lv = ext_op.laplacian(tu, tv, shift=jnp.roll)
+            return -tu - lap_scale * lu, -tv - lap_scale * lv
+
+        u0, v0 = op.prepare(u, v)
+
+        uacc = vacc = None
+        ucur = vcur = uprev = vprev = None
+        off = 0
+        for m, n_ops in enumerate(rounds):
+            if m == 0:
+                ext = halo.exchange_2d(jnp.stack([u0, v0]), cells, y_axis, x_axis)
+                uprev, vprev = ext[0], ext[1]
+                ucur, vcur = shifted(uprev, vprev)
+                uacc = p[0] * core(uprev) + p[1] * core(ucur)
+                vacc = p[0] * core(vprev) + p[1] * core(vcur)
+                n_rec, p_off = n_ops - 1, 2
+            else:
+                stacked = jnp.stack([core(ucur), core(vcur), core(uprev), core(vprev)])
+                ext = halo.exchange_2d(stacked, cells, y_axis, x_axis)
+                ucur, vcur, uprev, vprev = ext[0], ext[1], ext[2], ext[3]
+                n_rec, p_off = n_ops, 0
+            for j in range(n_rec):
+                su, sv = shifted(ucur, vcur)
+                unxt = 2.0 * su - uprev
+                vnxt = 2.0 * sv - vprev
+                uacc = uacc + p[off + p_off + j] * core(unxt)
+                vacc = vacc + p[off + p_off + j] * core(vnxt)
+                uprev, ucur = ucur, unxt
+                vprev, vcur = vcur, vnxt
+            off += n_ops + 1 if m == 0 else n_ops
+
+        return op.finalize(uacc, vacc)
 
     sharded = shard_map(
         _local,

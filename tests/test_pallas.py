@@ -55,3 +55,43 @@ def test_pallas_tripolar_seam_exact():
                                           jnp.asarray(delta)))
     np.testing.assert_allclose(out, want, rtol=1e-11, atol=1e-13)
     np.testing.assert_allclose(out[-2, 10], out[-1, nx - 10 - 1], atol=1e-12)
+
+
+def test_pallas_multistep_pass_plans(scalar_grid_data):
+    """Temporal blocking must be exact for any pass split (cheb_pass.py)."""
+    import gcm_filters_tpu.ops.pallas.cheb_pass as cp
+
+    grid_type, data, grid_vars = scalar_grid_data
+    for n_steps in (3, 9, 17):
+        filt = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                      grid_vars=grid_vars, n_steps=n_steps, use_pallas=False)
+        plan = cp.plan_passes(*data.shape, n_steps, 5, True, 8)
+        assert plan is not None and sum(plan.steps) == n_steps
+        fn = make_pallas_scalar_apply(filt.operator, filt.filter_spec)
+        got = np.asarray(fn(jnp.asarray(data)))
+        want = np.asarray(
+            scalar_filter_apply(filt.operator, filt.filter_spec, jnp.asarray(data))
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-13)
+
+
+def test_pallas_nan_propagation():
+    """NaN cells stay NaN; neighbors see them as zero (reference nan_to_num)."""
+    ny, nx = 32, 128
+    m = np.ones((ny, nx))
+    gv = dict(wet_mask=m.copy(), dxw=m, dyw=m, dxs=m, dys=m, area=m,
+              kappa_w=m, kappa_s=m)
+    gv["wet_mask"][:2] = 0
+    filt = Filter(filter_scale=4.0, dx_min=1.0,
+                  grid_type=GridType.IRREGULAR_WITH_LAND, grid_vars=gv,
+                  use_pallas=False)
+    data = np.random.default_rng(5).random((ny, nx))
+    data[10, 20] = np.nan
+    fn = make_pallas_scalar_apply(filt.operator, filt.filter_spec)
+    got = np.asarray(fn(jnp.asarray(data)))
+    want = np.asarray(
+        scalar_filter_apply(filt.operator, filt.filter_spec, jnp.asarray(data))
+    )
+    assert np.isnan(got[10, 20]) and np.isnan(want[10, 20])
+    mask = ~np.isnan(want)
+    np.testing.assert_allclose(got[mask], want[mask], rtol=1e-11, atol=1e-13)

@@ -103,3 +103,19 @@ def test_sharded_y_only_and_x_only(scalar_grid_data):
                     mesh=mesh_x, spatial_axes=(None, "x"))
     np.testing.assert_allclose(np.asarray(filt_x.apply(data)), expected,
                                rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("halo_steps", [1, 3, 16])
+def test_sharded_halo_round_sizes(tripolar_grid_data, halo_steps):
+    """Any steps-per-exchange round size must reproduce unsharded results."""
+    grid_type, data, grid_vars = tripolar_grid_data
+    base = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False)
+    mesh = _mesh(2, 4)
+    filt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False,
+                  mesh=mesh, spatial_axes=("y", "x"), halo_steps=halo_steps)
+    np.testing.assert_allclose(
+        np.asarray(filt.apply(data)), np.asarray(base.apply(data)),
+        rtol=1e-10, atol=1e-12,
+    )
