@@ -64,6 +64,10 @@ def _load_reference():
 
 @pytest.fixture(scope="session")
 def reference():
+    import os
+
+    if not os.path.isdir(_REF_PATH):
+        pytest.skip("reference implementation not available at " + _REF_PATH)
     kernels, filt = _load_reference()
     return kernels, filt
 
