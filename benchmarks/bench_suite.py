@@ -1,0 +1,188 @@
+"""Benchmark suite: per-grid throughput, roofline accounting, scaling.
+
+The reference publishes no benchmark suite (BASELINE.md); this harness
+records what matters for the TPU build:
+
+  1. headline workload (bench.py's): full-filter throughput + HBM roofline %
+  2. per-grid-type single-chip throughput (all scalar grids, both paths)
+  3. vector-filter throughput (C-grid and B-grid)
+  4. sharded scaling efficiency when >1 device is available
+
+Timing uses chained applications with a single scalar readback, measured as
+the difference between a 1-chain and an N-chain (the tunneled axon backend
+makes per-call dispatch and full-array transfers unusable for timing).
+
+Run: python benchmarks/bench_suite.py [--quick]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import gcm_filters_tpu as gf
+
+HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5": 2765.0}
+
+
+def chain_time(fn, x, n, reps=3):
+    def run(k):
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(k):
+            y = fn(y)
+        float(jnp.nanmean(y[1:]))
+        return time.perf_counter() - t0
+
+    run(1)  # compile/warm
+    t1 = min(run(1) for _ in range(reps))
+    tn = min(run(n + 1) for _ in range(reps))
+    return (tn - t1) / n
+
+
+def chain_time_vec(fn, u, v, n, reps=3):
+    def run(k):
+        t0 = time.perf_counter()
+        a, b = u, v
+        for _ in range(k):
+            a, b = fn(a, b)
+        float(jnp.nanmean(a) + jnp.nanmean(b))
+        return time.perf_counter() - t0
+
+    run(1)
+    t1 = min(run(1) for _ in range(reps))
+    tn = min(run(n + 1) for _ in range(reps))
+    return (tn - t1) / n
+
+
+def grid_vars_for(grid_type, ny, nx, rng):
+    wet = np.ones((ny, nx))
+    wet[0, :] = 0
+    wet[: ny // 6, : nx // 5] = 0
+    area = 0.9 + 0.2 * rng.random((ny, nx))
+    m = 0.9 + 0.2 * rng.random((ny, nx))
+    ones = np.ones((ny, nx))
+
+    def folding():
+        a = 0.9 + 0.2 * rng.random((ny, nx))
+        a[-1, nx // 2 :] = a[-1, : nx // 2][::-1]
+        return a
+
+    G = gf.GridType
+    return {
+        G.REGULAR: {},
+        G.REGULAR_AREA_WEIGHTED: dict(area=area),
+        G.REGULAR_WITH_LAND: dict(wet_mask=wet),
+        G.REGULAR_WITH_LAND_AREA_WEIGHTED: dict(area=area, wet_mask=wet),
+        G.IRREGULAR_WITH_LAND: dict(
+            wet_mask=wet, dxw=m, dyw=1 + 0.05 * m, dxs=1 + 0.1 * m, dys=m,
+            area=m * m, kappa_w=ones, kappa_s=ones,
+        ),
+        G.MOM5U: dict(wet_mask=wet, dxt=m, dyt=m, dxu=m, dyu=m, area_u=m * m),
+        G.MOM5T: dict(wet_mask=wet, dxt=m, dyt=m, dxu=m, dyu=m, area_t=m * m),
+        G.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED: dict(area=area, wet_mask=wet),
+        G.TRIPOLAR_POP_WITH_LAND: dict(
+            wet_mask=wet, dxe=m, dye=1 + 0.1 * m, dxn=folding(), dyn=folding(),
+            tarea=m * m,
+        ),
+        G.VECTOR_C_GRID: dict(
+            wet_mask_t=ones, wet_mask_q=ones, dxT=m, dyT=m, dxCu=m, dyCu=m,
+            dxCv=m, dyCv=m, dxBu=m, dyBu=m, area_u=m * m, area_v=m * m,
+            kappa_iso=ones, kappa_aniso=ones,
+        ),
+        G.VECTOR_B_GRID: dict(
+            DXU=m, DYU=m, HUS=m, HUW=m, HTE=m, HTN=m, UAREA=m * m, TAREA=m * m,
+        ),
+    }[grid_type]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="smaller domain, fewer reps")
+    args = ap.parse_args()
+
+    dev = jax.devices()[0]
+    hbm = next((v for k, v in HBM_GBPS.items() if k in dev.device_kind), None)
+    ny, nx = (1200, 1800) if args.quick else (2400, 3600)
+    n_chain = 5 if args.quick else 20
+    rng = np.random.default_rng(42)
+    data = rng.random((ny, nx)).astype(np.float32)
+    x = jnp.asarray(data)
+    results = []
+
+    print(f"# device={dev.device_kind} domain={ny}x{nx} f32", flush=True)
+
+    scalar_grids = [g for g in gf.GridType
+                    if g not in (gf.GridType.VECTOR_C_GRID, gf.GridType.VECTOR_B_GRID)]
+    for grid in scalar_grids:
+        gv = grid_vars_for(grid, ny, nx, rng)
+        fixed_factor = "AREA_WEIGHTED" in grid.name
+        for pallas in (True, False):
+            filt = gf.Filter(
+                filter_scale=10.0, dx_min=1.0, grid_type=grid, grid_vars=gv,
+                dtype=jnp.float32, use_pallas=pallas,
+            )
+            dt = chain_time(filt._scalar_fn(), x, n_chain)
+            gps = ny * nx * filt.n_steps / dt
+            row = dict(grid=grid.name, path="pallas" if pallas else "xla",
+                       n_steps=filt.n_steps, ms=round(dt * 1e3, 3),
+                       gps=round(gps / 1e9, 2))
+            if hbm:
+                # multi-step pass: ~(6 + coefs)/S streams/step + carry; report
+                # achieved bandwidth as filter bytes moved / time, vs HBM peak
+                row["eff_bw_gbps"] = round(
+                    ny * nx * 4 * filt.n_steps * 2 / dt / 1e9, 1
+                )
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
+    u = jnp.asarray(rng.random((ny, nx)).astype(np.float32))
+    v = jnp.asarray(rng.random((ny, nx)).astype(np.float32))
+    for grid in (gf.GridType.VECTOR_C_GRID, gf.GridType.VECTOR_B_GRID):
+        gv = grid_vars_for(grid, ny, nx, rng)
+        filt = gf.Filter(filter_scale=10.0, dx_min=1.0, grid_type=grid,
+                         grid_vars=gv, dtype=jnp.float32)
+        dt = chain_time_vec(filt._vector_fn(), u, v, n_chain)
+        row = dict(grid=grid.name, path="xla", n_steps=filt.n_steps,
+                   ms=round(dt * 1e3, 3),
+                   gps=round(2 * ny * nx * filt.n_steps / dt / 1e9, 2))
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from jax.sharding import Mesh
+
+        xs = max(d for d in (8, 4, 2) if n_dev % d == 0)
+        mesh = Mesh(np.array(jax.devices()).reshape(n_dev // xs, xs), ("y", "x"))
+        gv = grid_vars_for(gf.GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+                           ny, nx, rng)
+        single = gf.Filter(filter_scale=10.0, dx_min=1.0,
+                           grid_type=gf.GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+                           grid_vars=gv, dtype=jnp.float32)
+        sharded = gf.Filter(filter_scale=10.0, dx_min=1.0,
+                            grid_type=gf.GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+                            grid_vars=gv, dtype=jnp.float32,
+                            mesh=mesh, spatial_axes=("y", "x"))
+        t1 = chain_time(single._scalar_fn(), x, n_chain)
+        tn = chain_time(sharded._scalar_fn(), x, n_chain)
+        row = dict(grid="TRIPOLAR_REGULAR (sharded)", devices=n_dev,
+                   scaling_efficiency=round(t1 / (tn * n_dev), 3))
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = os.path.join(os.path.dirname(__file__), "results.json")
+    with open(out, "w") as f:
+        json.dump(dict(device=dev.device_kind, domain=[ny, nx],
+                       results=results), f, indent=1)
+    print(f"# wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..stencil import ScalarStencil5
 
 # VMEM spent on Pallas-pipelined buffers; temporaries need headroom on top.
-_VMEM_BUDGET = 11 * 1024 * 1024
+# Tuned on v5e (16 MiB VMEM): 13 MiB here + the ~6-window temp allowance in
+# _vmem_rows compiles reliably and beats smaller budgets on the headline
+# workload (larger blocks -> less trapezoid recompute).
+_VMEM_BUDGET = 13 * 1024 * 1024
 
 COEF_NAMES = ("c", "n", "s", "e", "w")
 # Reflection across the tripolar seam swaps north<->south and east<->west.
@@ -88,7 +91,7 @@ def plan_passes(
     n_coef: int,
     has_post: bool,
     itemsize: int,
-    max_fuse: int = 8,
+    max_fuse: int = 16,
 ) -> Optional[PassPlan]:
     """Choose block rows and per-pass step counts under the VMEM budget."""
     row_bytes = nx * itemsize
@@ -122,13 +125,12 @@ def plan_passes(
         return None
     _, br, h = best
 
-    steps = []
-    remaining = n_steps
-    while remaining > 0:
-        s = min(h, remaining)
-        steps.append(s)
-        remaining -= s
-    return PassPlan(br=br, halo=h, steps=tuple(steps))
+    # Balanced split: ceil(n/h) near-equal passes (a trailing 1-op remainder
+    # pass would waste a full HBM sweep on one step).
+    n_pass = -(-n_steps // h)
+    base, extra = divmod(n_steps, n_pass)
+    steps = tuple(base + (1 if i < extra else 0) for i in range(n_pass))
+    return PassPlan(br=br, halo=max(steps), steps=steps)
 
 
 def _ext_coef_blocks(
