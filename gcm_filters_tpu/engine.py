@@ -131,24 +131,27 @@ def _pallas_auto(use_pallas: bool | None) -> bool:
 def make_jitted_scalar_apply(
     stencil: ScalarStencil5, spec: FilterSpec, use_pallas: bool | None = None
 ):
-    """A jitted ``field -> filtered`` closure with the stencil baked in.
+    """A compiled ``field -> filtered`` function for this stencil.
 
-    Closing over the stencil (rather than passing it as an argument) lets XLA
-    treat python-float coefficients as immediates — the REGULAR grids compile
-    to pure constant-coefficient stencils with no coefficient loads.
+    The operator pytree is threaded through the jit boundary as a runtime
+    argument: closing over it would embed the (potentially multi-hundred-MB)
+    coefficient arrays as constants in the compile payload, which bloats
+    compile caches and overflows remote-compile transports.
     """
     if _pallas_auto(use_pallas):
         from .ops.pallas import make_pallas_scalar_apply
 
         fn = make_pallas_scalar_apply(stencil, spec)
         if fn is not None:
-            return jax.jit(fn)
-    return jax.jit(partial(scalar_filter_apply, stencil, spec))
+            return fn  # manages its own jit + argument threading
+    jitted = jax.jit(lambda st, field: scalar_filter_apply(st, spec, field))
+    return lambda field: jitted(stencil, field)
 
 
 def make_jitted_vector_apply(operator, spec: FilterSpec, use_pallas: bool | None = None):
-    """A jitted ``(u, v) -> (filtered_u, filtered_v)`` closure."""
+    """A compiled ``(u, v) -> (filtered_u, filtered_v)`` function."""
     # Vector operators currently run the XLA-fused path; the Pallas coupled
     # B-grid kernel lands behind the same flag.
     del use_pallas
-    return jax.jit(partial(vector_filter_apply, operator, spec))
+    jitted = jax.jit(lambda op, u, v: vector_filter_apply(op, spec, u, v))
+    return lambda u, v: jitted(operator, u, v)

@@ -25,7 +25,12 @@ Boundary handling, all inside one uniform kernel:
 
 Coefficient arrays are pre-gathered once per (br, H) config into an
 "extended block" layout (nb, br+2H, nx) so each pass streams them ~once
-(1 + 2H/br) instead of 3x via neighbor views.
+(1 + 2H/br) instead of 3x via neighbor views. Two builder entry points share
+the kernel: :func:`build_cheb_pass` (single-device path — host-side numpy
+coefficients, fold support) and :func:`build_local_pass` (the per-shard inner
+kernel of the shard_map engine — coefficients arrive as runtime arrays that
+were halo-extended by device-level exchange, so the kernel itself is purely
+periodic and edge garbage stays confined to the exchanged halo zone).
 
 Land masks never enter the hot loop: the dispatch layer runs the recurrence
 in masked h-space (see dispatch.py) so ``stencil.pre`` must be None here.
@@ -33,7 +38,7 @@ in masked h-space (see dispatch.py) so ``stencil.pre`` must be None here.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +55,7 @@ from ..stencil import ScalarStencil5
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 COEF_NAMES = ("c", "n", "s", "e", "w")
-# Reflection across the tripolar seam swaps north<->south and east<->west.
+# Reflection across the tripolar seam swaps the meaning of the neighbors.
 _MIRROR_SWAP = {"c": "c", "n": "s", "s": "n", "e": "w", "w": "e"}
 
 
@@ -133,8 +138,9 @@ def plan_passes(
     return PassPlan(br=br, halo=max(steps), steps=steps)
 
 
-def _ext_coef_blocks(
-    arr: np.ndarray, br: int, halo: int, fold: bool, mirror_src: np.ndarray
+def ext_blocks_np(
+    arr: np.ndarray, br: int, halo: int, fold: bool = False,
+    mirror_src: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Pre-gather a coefficient array into (nb, br+2H, nx) extended layout.
 
@@ -154,6 +160,14 @@ def _ext_coef_blocks(
     return ext
 
 
+def ext_blocks_jnp(arr: jax.Array, br: int, halo: int) -> jax.Array:
+    """Runtime (traced) counterpart of :func:`ext_blocks_np`, periodic only."""
+    ny = arr.shape[-2]
+    nb = ny // br
+    idx = (np.arange(-halo, br + halo)[None, :] + br * np.arange(nb)[:, None]) % ny
+    return arr[..., idx, :]
+
+
 def _mirror_chunk(x: jax.Array, halo: int, rows_m: int) -> jax.Array:
     """(rows_m, nx) chunk whose first H rows are the seam mirror of ``x``."""
     m = x[..., -halo:, :][..., ::-1, ::-1]
@@ -163,81 +177,68 @@ def _mirror_chunk(x: jax.Array, halo: int, rows_m: int) -> jax.Array:
     return m
 
 
-def build_cheb_pass(
-    stencil: ScalarStencil5,
-    lap_scale: float,
-    ny: int,
-    nx: int,
-    dtype,
-    plan: PassPlan,
-    n_ops: int,
-    first_pass: bool,
-    last_pass: bool,
-):
-    """Build one fused pass performing ``n_ops`` operator applications.
+@dataclasses.dataclass(frozen=True)
+class _PassConfig:
+    """Static description of one fused pass kernel."""
 
-    Signatures of the returned function:
-      first+last : (p[0..n_ops],  h)           -> acc
-      first      : (p[0..n_ops],  h)           -> (t1, t2, acc)
-      middle     : (p[0..n_ops-1], t1, t2, acc) -> (t1, t2, acc)
-      last       : (p[0..n_ops-1], t1, t2, acc) -> acc
+    ny: int
+    nx: int
+    br: int
+    halo: int
+    n_ops: int
+    coef_names: Tuple[str, ...]  # which of c/n/s/e/w are arrays
+    consts: Dict[str, float]  # the rest, as compile-time immediates
+    has_post: bool
+    zap: bool
+    fold: bool
+    first_pass: bool
+    last_pass: bool
+    lap_scale: float
+    dtype: object
 
-    where h/t1/t2/acc are (ny, nx) and p chunks are (1, len) SMEM rows.
-    ``stencil.pre`` must be None (h-space recurrence, see dispatch.py).
+    @property
+    def nb(self) -> int:
+        return self.ny // self.br
+
+    @property
+    def win(self) -> int:
+        return self.br + 2 * self.halo
+
+    @property
+    def n_fields(self) -> int:
+        return 1 if self.first_pass else 2  # h, or (t1, t2)
+
+    @property
+    def n_p(self) -> int:
+        return self.n_ops + 1 if self.first_pass else self.n_ops
+
+    @property
+    def rows_m(self) -> int:
+        return max(8, self.halo)  # mirror chunks padded to the sublane tile
+
+
+def _build_pass_call(cfg: _PassConfig):
+    """The pallas_call shared by both builder entry points.
+
+    Input order: p (SMEM), 3 views per field, [acc], [mirror chunks x fields],
+    one (nb, win, nx) extended-layout array per array coefficient, [post ext].
+    Outputs: (t1, t2, acc) or (acc,) for the last pass.
     """
-    assert stencil.pre is None
-    br, halo = plan.br, plan.halo
-    assert n_ops <= halo and halo <= br and ny % br == 0
-    nb = ny // br
-    win = br + 2 * halo
-
-    coef_names = _coef_arrays(stencil)
-    has_post = stencil.post is not None
-    fold = stencil.fold_north
-    zap = stencil.zap_nans
-    consts = {
-        k: float(getattr(stencil, k))
-        for k in COEF_NAMES
-        if k not in coef_names
-    }
-    npdt = np.dtype(dtype)
-
-    def _host(a):
-        return np.asarray(a, dtype=npdt)
-
-    def _full(v):
-        """Coefficient as a full (ny, nx) host array (scalars broadcast)."""
-        if isinstance(v, (int, float)):
-            return np.broadcast_to(npdt.type(v), (ny, nx))
-        return _host(v)
-
-    ext_coefs = [
-        _ext_coef_blocks(
-            _host(getattr(stencil, k)), br, halo, fold,
-            _full(getattr(stencil, _MIRROR_SWAP[k])),
-        )
-        for k in coef_names
-    ]
-    ext_post = (
-        _ext_coef_blocks(_host(stencil.post), br, halo, fold, _host(stencil.post))
-        if has_post
-        else None
-    )
-
-    rows_m = max(8, halo)  # mirror chunks padded to the f32 sublane tile
-    n_p = n_ops + 1 if first_pass else n_ops
-    n_fields = 1 if first_pass else 2  # h, or (t1, t2)
-    neg2scale = npdt.type(-2.0 * lap_scale)
-    negscale = npdt.type(-lap_scale)
+    br, halo, nb, win = cfg.br, cfg.halo, cfg.nb, cfg.win
+    npdt = np.dtype(cfg.dtype)
+    neg2scale = npdt.type(-2.0 * cfg.lap_scale)
+    negscale = npdt.type(-cfg.lap_scale)
+    coef_names, consts = cfg.coef_names, cfg.consts
+    has_post, zap, fold = cfg.has_post, cfg.zap, cfg.fold
 
     def kernel(p_ref, *refs):
         refs = list(refs)
-        f_views = [[refs.pop(0) for _ in range(3)] for _ in range(n_fields)]
-        acc_ref = None if first_pass else refs.pop(0)
-        mirrors = [refs.pop(0) for _ in range(n_fields)] if fold else []
+        f_views = [[refs.pop(0) for _ in range(3)] for _ in range(cfg.n_fields)]
+        acc_ref = None if cfg.first_pass else refs.pop(0)
+        mirrors = [refs.pop(0) for _ in range(cfg.n_fields)] if fold else []
         coef_refs = {k: refs.pop(0) for k in coef_names}
         post_ref = refs.pop(0) if has_post else None
-        if last_pass:
+        if cfg.last_pass:
             (acc_out,) = refs
             t1_out = t2_out = None
         else:
@@ -273,7 +274,7 @@ def build_cheb_pass(
             return out
 
         own = slice(halo, halo + br)
-        if first_pass:
+        if cfg.first_pass:
             prev = window(f_views[0], mirrors[0] if fold else None)  # T_0 = h
             cur = -prev + negscale * lap(prev)  # T_1 = A h
             acc = p_ref[0, 0] * prev[own] + p_ref[0, 1] * cur[own]
@@ -284,19 +285,19 @@ def build_cheb_pass(
             acc = acc_ref[...]
             p_off = 0
 
-        n_rec = n_ops - 1 if first_pass else n_ops
+        n_rec = cfg.n_ops - 1 if cfg.first_pass else cfg.n_ops
         for j in range(n_rec):
             nxt = -2.0 * cur + neg2scale * lap(cur) - prev
             acc = acc + p_ref[0, p_off + j] * nxt[own]
             prev, cur = cur, nxt
 
-        if not last_pass:
+        if not cfg.last_pass:
             t1_out[...] = cur[own]
             t2_out[...] = prev[own]
         acc_out[...] = acc
 
     def blk(index_map=lambda i: (i, 0)):
-        return pl.BlockSpec((br, nx), index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((br, cfg.nx), index_map, memory_space=pltpu.VMEM)
 
     def views():
         return [
@@ -305,55 +306,197 @@ def build_cheb_pass(
             blk(lambda i: ((i + 1) % nb, 0)),
         ]
 
-    in_specs = [pl.BlockSpec((1, n_p), lambda i: (0, 0), memory_space=pltpu.SMEM)]
-    for _ in range(n_fields):
+    in_specs = [
+        pl.BlockSpec((1, cfg.n_p), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    ]
+    for _ in range(cfg.n_fields):
         in_specs += views()
-    if not first_pass:
+    if not cfg.first_pass:
         in_specs.append(blk())  # acc
     if fold:
         in_specs += [
-            pl.BlockSpec((rows_m, nx), lambda i: (0, 0), memory_space=pltpu.VMEM)
-            for _ in range(n_fields)
+            pl.BlockSpec((cfg.rows_m, cfg.nx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(cfg.n_fields)
         ]
     in_specs += [
-        pl.BlockSpec((1, win, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, win, cfg.nx), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
         for _ in range(len(coef_names) + int(has_post))
     ]
 
-    n_out = 1 if last_pass else 3
+    n_out = 1 if cfg.last_pass else 3
     out_specs = [blk() for _ in range(n_out)]
-    out_shape = [jax.ShapeDtypeStruct((ny, nx), dtype) for _ in range(n_out)]
+    out_shape = [
+        jax.ShapeDtypeStruct((cfg.ny, cfg.nx), cfg.dtype) for _ in range(n_out)
+    ]
 
     n_arrays = len(coef_names) + int(has_post)
-    grid_call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=12 * n_ops * nb * win * nx,
-            bytes_accessed=(3 * n_fields + n_out + 1) * ny * nx * npdt.itemsize
-            + n_arrays * nb * win * nx * npdt.itemsize,
+            flops=12 * cfg.n_ops * nb * win * cfg.nx,
+            bytes_accessed=(3 * cfg.n_fields + n_out + 1) * cfg.ny * cfg.nx
+            * npdt.itemsize + n_arrays * nb * win * cfg.nx * npdt.itemsize,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
     )
 
-    ext_inputs = [jnp.asarray(c) for c in ext_coefs]
-    if has_post:
-        ext_inputs.append(jnp.asarray(ext_post))
 
-    def pass_fn(p_chunk, *fields_and_acc):
-        fields = fields_and_acc[:n_fields]
-        args = [jnp.reshape(p_chunk, (1, n_p)).astype(dtype)]
+def build_cheb_pass(
+    stencil: ScalarStencil5,
+    lap_scale: float,
+    ny: int,
+    nx: int,
+    dtype,
+    plan: PassPlan,
+    n_ops: int,
+    first_pass: bool,
+    last_pass: bool,
+):
+    """Build one fused pass performing ``n_ops`` operator applications.
+
+    Single-device entry point (fold-capable). ``coef_exts`` are the runtime
+    extended-layout coefficient arrays from :func:`host_ext_inputs`.
+    Signatures of the returned function:
+
+      first+last : (p[0..n_ops],  coef_exts, h)           -> acc
+      first      : (p[0..n_ops],  coef_exts, h)           -> (t1, t2, acc)
+      middle     : (p[0..n_ops-1], coef_exts, t1, t2, acc) -> (t1, t2, acc)
+      last       : (p[0..n_ops-1], coef_exts, t1, t2, acc) -> acc
+
+    where h/t1/t2/acc are (ny, nx). ``stencil.pre`` must be None (h-space
+    recurrence, see dispatch.py).
+    """
+    assert stencil.pre is None
+    br, halo = plan.br, plan.halo
+    assert n_ops <= halo and halo <= br and ny % br == 0
+
+    coef_names = tuple(_coef_arrays(stencil))
+    fold = stencil.fold_north
+    npdt = np.dtype(dtype)
+    cfg = _PassConfig(
+        ny=ny, nx=nx, br=br, halo=halo, n_ops=n_ops,
+        coef_names=coef_names,
+        consts={k: float(getattr(stencil, k)) for k in COEF_NAMES
+                if k not in coef_names},
+        has_post=stencil.post is not None,
+        zap=stencil.zap_nans,
+        fold=fold,
+        first_pass=first_pass,
+        last_pass=last_pass,
+        lap_scale=lap_scale,
+        dtype=dtype,
+    )
+    grid_call = _build_pass_call(cfg)
+
+    def pass_fn(p_chunk, coef_exts, *fields_and_acc):
+        fields = fields_and_acc[: cfg.n_fields]
+        args = [jnp.reshape(p_chunk, (1, cfg.n_p)).astype(dtype)]
         for f in fields:
             args += [f, f, f]
         if not first_pass:
-            args.append(fields_and_acc[n_fields])  # acc
+            args.append(fields_and_acc[cfg.n_fields])  # acc
         if fold:
-            args += [_mirror_chunk(f, halo, rows_m) for f in fields]
-        args += ext_inputs
+            args += [_mirror_chunk(f, halo, cfg.rows_m) for f in fields]
+        args += list(coef_exts)
+        out = grid_call(*args)
+        return out[0] if last_pass else tuple(out)
+
+    return pass_fn
+
+
+def host_ext_inputs(
+    stencil: ScalarStencil5, plan: PassPlan, ny: int, nx: int, dtype
+) -> List[np.ndarray]:
+    """The extended-block coefficient arrays for :func:`build_cheb_pass`.
+
+    Built once per (plan, shape, dtype) on the host. The caller should pass
+    them to the compiled function as *runtime arguments* (eager device
+    arrays), never as trace-time constants — multi-hundred-MB constants get
+    serialized into the compile payload.
+    """
+    br, halo = plan.br, plan.halo
+    fold = stencil.fold_north
+    npdt = np.dtype(dtype)
+
+    def _host(a):
+        return np.asarray(a, dtype=npdt)
+
+    def _full(v):
+        if isinstance(v, (int, float)):
+            return np.broadcast_to(npdt.type(v), (ny, nx))
+        return _host(v)
+
+    out = [
+        ext_blocks_np(
+            _host(getattr(stencil, k)), br, halo, fold,
+            _full(getattr(stencil, _MIRROR_SWAP[k])),
+        )
+        for k in _coef_arrays(stencil)
+    ]
+    if stencil.post is not None:
+        out.append(ext_blocks_np(
+            _host(stencil.post), br, halo, fold, _host(stencil.post)
+        ))
+    return out
+
+
+def build_local_pass(
+    ny: int,
+    nx: int,
+    dtype,
+    br: int,
+    halo: int,
+    n_ops: int,
+    coef_names: Sequence[str],
+    consts: Dict[str, float],
+    has_post: bool,
+    zap: bool,
+    lap_scale: float,
+    first_pass: bool,
+    last_pass: bool,
+):
+    """Build the per-shard inner pass for the shard_map engine.
+
+    Runtime-coefficient entry point: the (nb, br+2H, nx) extended-layout
+    coefficient arrays are *arguments* of the returned function (built inside
+    shard_map with :func:`ext_blocks_jnp` from device-halo-extended local
+    coefficients, once per apply). The kernel itself is purely periodic —
+    the device-level halo exchange already placed the fold/neighbor data, so
+    wrap garbage at the domain edges stays confined to the halo zone that the
+    caller discards.
+
+      pass_fn(p_chunk, coef_exts, *fields_and_acc) -> same as build_cheb_pass
+    """
+    assert n_ops <= halo and halo <= br and ny % br == 0
+    cfg = _PassConfig(
+        ny=ny, nx=nx, br=br, halo=halo, n_ops=n_ops,
+        coef_names=tuple(coef_names),
+        consts=dict(consts),
+        has_post=has_post,
+        zap=zap,
+        fold=False,
+        first_pass=first_pass,
+        last_pass=last_pass,
+        lap_scale=lap_scale,
+        dtype=dtype,
+    )
+    grid_call = _build_pass_call(cfg)
+
+    def pass_fn(p_chunk, coef_exts, *fields_and_acc):
+        fields = fields_and_acc[: cfg.n_fields]
+        args = [jnp.reshape(p_chunk, (1, cfg.n_p)).astype(dtype)]
+        for f in fields:
+            args += [f, f, f]
+        if not first_pass:
+            args.append(fields_and_acc[cfg.n_fields])
+        args += list(coef_exts)
         out = grid_call(*args)
         return out[0] if last_pass else tuple(out)
 

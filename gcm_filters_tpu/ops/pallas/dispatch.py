@@ -1,4 +1,4 @@
-"""Dispatch: scalar filter apply built on the fused Pallas step kernel.
+"""Dispatch: scalar filter apply built on the fused Pallas pass kernels.
 
 Mask elimination ("h-space" recurrence): grids whose stencil both pre- and
 post-multiplies by the same 0/1 wet mask (REGULAR_WITH_LAND and friends,
@@ -8,13 +8,20 @@ pre-mask from the hot loop. With h_k = wet * nan_to_num(t_k):
     h_k = -2 h_{k-1} - 2c * wet * S(h_{k-1}) - h_{k-2}        (wet^2 = wet)
 
 is closed in h, and on land the shifted operator is exactly -identity, so
-t_k = (-1)^k fbar there and the filtered land value is chebval(-1, p) * fbar
+t_k = (-1)^k fbar and the filtered land value is chebval(-1, p) * fbar
 — reconstructed in one fused where() at the end (NaN land inputs stay NaN,
 matching the reference). This cuts one full array stream per step and keeps
 the kernel uniform across all scalar grid types.
 
-Falls back to the XLA path whenever the traced shape/config isn't supported
-(non-8-divisible row counts, batched inputs, non-binary masks).
+Compilation structure: the returned apply function manages its own jit with a
+per-(shape, dtype) cache, and every large array — stencil coefficients,
+masks, and the pre-gathered extended-layout coefficient blocks — is threaded
+through the jit boundary as a runtime argument. Closing over them would embed
+multi-hundred-MB constants in the compile payload (the remote-compile tunnel
+rejects those outright, and caches bloat even where it doesn't).
+
+Falls back: multi-step pass -> single-step kernel -> XLA engine, whenever a
+shape/config is unsupported (non-8-divisible rows, non-binary masks, ...).
 """
 from __future__ import annotations
 
@@ -26,7 +33,12 @@ import numpy as np
 
 from ...filter_spec import FilterSpec
 from ..stencil import ScalarStencil5
-from .cheb_pass import build_cheb_pass, plan_passes, _coef_arrays
+from .cheb_pass import (
+    _coef_arrays,
+    build_cheb_pass,
+    host_ext_inputs,
+    plan_passes,
+)
 from .cheb_step import build_cheb_step
 
 
@@ -41,9 +53,68 @@ def _binary01(arr) -> bool:
     return bool(np.all((a == 0) | (a == 1)))
 
 
+# Data fields of ScalarStencil5 that can hold large arrays.
+_ARRAY_FIELDS = ("c", "n", "s", "e", "w", "pre", "post", "area")
+
+# Coefficient arrays are embedded as trace-time constants when their total
+# size stays under this limit: constants let XLA pre-tile them for the Pallas
+# custom call (measured ~1.6x faster than parameter passing, which relayouts
+# per call), but oversized constants overflow the remote-compile transport
+# (HTTP 413 at ~0.5 GB) and bloat compile caches. Above the limit everything
+# is threaded as runtime arguments.
+_CONST_EMBED_LIMIT = 384 * 1024 * 1024
+
+
+def _split_stencil(stencil: ScalarStencil5):
+    """(skeleton, arrays): array leaves extracted for arg-passing.
+
+    Fields sharing one host array (e.g. pre/post both the wet mask) share one
+    device array, so const-embedding and transfers pay for it once.
+    """
+    arrays = {}
+    repl = {}
+    seen = {}
+    for name in _ARRAY_FIELDS:
+        v = getattr(stencil, name)
+        if v is not None and not isinstance(v, (int, float)):
+            if id(v) in seen:
+                arrays[name] = arrays[seen[id(v)]]
+            else:
+                arrays[name] = jnp.asarray(v)
+                seen[id(v)] = name
+            repl[name] = None
+    skeleton = dataclasses.replace(stencil, **repl)
+    return skeleton, arrays
+
+
+def _merge_stencil(skeleton: ScalarStencil5, arrays) -> ScalarStencil5:
+    return dataclasses.replace(skeleton, **arrays)
+
+
+def _cast_arrays(arrays, dtype):
+    """Per-dtype eager copies (pre-cast once; casting inside the compiled
+    function would re-run on every call now that arrays are arguments).
+    Aliased entries stay aliased."""
+    out = {}
+    seen = {}
+    for k, v in arrays.items():
+        if id(v) in seen:
+            out[k] = out[seen[id(v)]]
+            continue
+        out[k] = (
+            jnp.asarray(v, dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
+        )
+        seen[id(v)] = k
+    return out
+
+
 def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
-    """``field -> filtered`` using the fused per-step kernel when possible."""
-    from ...engine import scalar_filter_apply, _cast_operator
+    """``field -> filtered`` using the fused pass kernels when possible.
+
+    Manages its own jit (per shape/dtype); do not wrap in another jax.jit —
+    that would re-trace the host-side kernel construction with tracers.
+    """
+    from ...engine import scalar_filter_apply
 
     p_host = np.asarray(spec.p)
 
@@ -59,99 +130,122 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
         return None  # unsupported masking pattern: XLA path handles it
     land_gain = float(np.polynomial.chebyshev.chebval(-1.0, p_host))
 
-    def _run_multistep(hot, st, field, dtype):
-        """Temporally blocked passes (cheb_pass.py); None if not applicable."""
-        ny, nx = field.shape
-        scale = _lap_scale(spec, st.is_dimensional)
+    hot_host = (
+        dataclasses.replace(stencil, pre=None, zap_nans=False)
+        if drop_pre
+        else stencil
+    )
+    skeleton, arrays_host = _split_stencil(stencil)
+    scale = _lap_scale(spec, stencil.is_dimensional)
+
+    def _build_2d(ny, nx, dtype):
+        """Compile the 2-D apply for one (shape, dtype); returns (fn, extras)."""
         plan = plan_passes(
             ny,
             nx,
             n_steps=spec.n_steps,
-            n_coef=len(_coef_arrays(hot)),
-            has_post=hot.post is not None,
+            n_coef=len(_coef_arrays(hot_host)),
+            has_post=hot_host.post is not None,
             itemsize=np.dtype(dtype).itemsize,
         )
-        if plan is None:
-            return None
 
-        p = jnp.asarray(p_host, dtype=dtype)
-        fbar = st.prepare(field)
-        h = st.pre * jnp.nan_to_num(fbar) if drop_pre else fbar
-
-        state = (h,)
-        off = 0
-        for m, n_ops in enumerate(plan.steps):
-            first = m == 0
-            last = m == len(plan.steps) - 1
-            pass_fn = build_cheb_pass(
-                hot, scale, ny, nx, dtype, plan, n_ops, first, last
+        if plan is not None:
+            pass_fns = []
+            off = 0
+            for m, n_ops in enumerate(plan.steps):
+                first = m == 0
+                last = m == len(plan.steps) - 1
+                fn = build_cheb_pass(
+                    hot_host, scale, ny, nx, dtype, plan, n_ops, first, last
+                )
+                n_p = n_ops + 1 if first else n_ops
+                pass_fns.append((fn, off, n_p, first, last))
+                off += n_p
+            ext_dev = [jnp.asarray(e) for e in
+                       host_ext_inputs(hot_host, plan, ny, nx, dtype)]
+            arrays_dev = _cast_arrays(arrays_host, dtype)
+            total_bytes = sum(int(e.nbytes) for e in ext_dev) + sum(
+                int(a.nbytes) for a in arrays_dev.values()
             )
-            n_p = n_ops + 1 if first else n_ops
-            out = pass_fn(p[off : off + n_p], *state)
-            off += n_p
-            state = (out,) if last else (out[0], out[1], out[2])
-        acc = state[0]
 
-        if drop_pre:
-            acc = jnp.where(st.pre == 0, land_gain * fbar, acc)
-        return st.finalize(acc)
+            def run(field, arrays, exts):
+                st = _merge_stencil(skeleton, arrays)
+                fbar = st.prepare(field)
+                h = st.pre * jnp.nan_to_num(fbar) if drop_pre else fbar
+                p = jnp.asarray(p_host, dtype=dtype)
+                state = (h,)
+                for fn, off, n_p, first, last in pass_fns:
+                    out = fn(p[off : off + n_p], exts, *state)
+                    state = (out,) if last else (out[0], out[1], out[2])
+                acc = state[0]
+                if drop_pre:
+                    acc = jnp.where(st.pre == 0, land_gain * fbar, acc)
+                return st.finalize(acc)
 
-    def _run_singlestep(hot, st, field, dtype):
-        """One fused kernel per step (cheb_step.py); None if not applicable."""
-        ny, nx = field.shape
-        scale = _lap_scale(spec, st.is_dimensional)
-        step = build_cheb_step(hot, scale, ny, nx, dtype)
-        if step is None:
-            return None
+            if total_bytes <= _CONST_EMBED_LIMIT:
+                embedded = jax.jit(
+                    lambda field: run(field, arrays_dev, ext_dev)
+                )
+                return (lambda f, a, e: embedded(f)), arrays_dev, ext_dev
+            return jax.jit(run), arrays_dev, ext_dev
 
-        p = jnp.asarray(p_host, dtype=dtype)
-        fbar = st.prepare(field)
-        h = st.pre * jnp.nan_to_num(fbar) if drop_pre else fbar
+        # Single-step fallback (cheb_step takes its coefficients as traced
+        # stencil leaves, so arrays stay runtime args here too).
+        arrays_dev = _cast_arrays(arrays_host, dtype)
 
-        t2 = h
-        t1 = -h - scale * hot.laplacian(h)  # first step in XLA (runs once)
-        acc = p[0] * t2 + p[1] * t1
+        def run_single(field, arrays, exts):
+            st = _merge_stencil(skeleton, arrays)
+            hot = (
+                dataclasses.replace(st, pre=None, zap_nans=False)
+                if drop_pre
+                else st
+            )
+            step = build_cheb_step(hot, scale, ny, nx, dtype)
+            if step is None:
+                return scalar_filter_apply(st, spec, field)
+            p = jnp.asarray(p_host, dtype=dtype)
+            fbar = st.prepare(field)
+            h = st.pre * jnp.nan_to_num(fbar) if drop_pre else fbar
+            t2 = h
+            t1 = -h - scale * hot.laplacian(h)
+            acc = p[0] * t2 + p[1] * t1
 
-        def body(carry, p_i):
-            acc, t1, t2 = carry
-            t0, acc_new = step(p_i, t1, t2, acc)
-            return (acc_new, t0, t1), None
+            def body(carry, p_i):
+                acc, t1, t2 = carry
+                t0, acc_new = step(p_i, t1, t2, acc)
+                return (acc_new, t0, t1), None
 
-        (acc, _, _), _ = jax.lax.scan(body, (acc, t1, t2), p[2:])
+            (acc, _, _), _ = jax.lax.scan(body, (acc, t1, t2), p[2:])
+            if drop_pre:
+                acc = jnp.where(st.pre == 0, land_gain * fbar, acc)
+            return st.finalize(acc)
 
-        if drop_pre:
-            acc = jnp.where(st.pre == 0, land_gain * fbar, acc)
-        return st.finalize(acc)
+        return jax.jit(run_single), arrays_dev, []
 
-    def _apply_2d(field):
-        dtype = field.dtype
-        st = _cast_operator(stencil, dtype)
-        if drop_pre:
-            # cheb_pass pre-gathers coefficients on host, so it needs the
-            # original (concrete numpy) stencil, not trace-time casts.
-            hot_host = dataclasses.replace(stencil, pre=None, zap_nans=False)
-            hot = dataclasses.replace(st, pre=None, zap_nans=False)
-        else:
-            hot_host, hot = stencil, st
-        out = _run_multistep(hot_host, st, field, dtype)
-        if out is None:
-            out = _run_singlestep(hot, st, field, dtype)
-        if out is None:
-            out = scalar_filter_apply(stencil, spec, field)
-        return out
+    cache = {}
+
+    def _get(ny, nx, dtype):
+        key = (ny, nx, str(dtype))
+        if key not in cache:
+            cache[key] = _build_2d(ny, nx, dtype)
+        return cache[key]
 
     def apply_fn(field):
         field = jnp.asarray(field)
-        if not jnp.issubdtype(field.dtype, jnp.floating):
-            return scalar_filter_apply(stencil, spec, field)
+        if not jnp.issubdtype(field.dtype, jnp.floating) or field.ndim < 2:
+            skel_fn = jax.jit(
+                lambda f, a: scalar_filter_apply(
+                    _merge_stencil(skeleton, a), spec, f
+                )
+            )
+            return skel_fn(field, arrays_host)
+        ny, nx = field.shape[-2:]
+        fn, arrays_dev, exts = _get(ny, nx, field.dtype)
         if field.ndim == 2:
-            return _apply_2d(field)
-        if field.ndim > 2:
-            # Batched: vmap the 2-D path over flattened leading dims.
-            lead = field.shape[:-2]
-            flat = field.reshape((-1,) + field.shape[-2:])
-            out = jax.vmap(_apply_2d)(flat)
-            return out.reshape(lead + out.shape[-2:])
-        return scalar_filter_apply(stencil, spec, field)
+            return fn(field, arrays_dev, exts)
+        lead = field.shape[:-2]
+        flat = field.reshape((-1,) + field.shape[-2:])
+        out = jax.vmap(fn, in_axes=(0, None, None))(flat, arrays_dev, exts)
+        return out.reshape(lead + out.shape[-2:])
 
     return apply_fn

@@ -150,6 +150,35 @@ def _extend_vector_operator(op, cells: int, y_axis, x_axis):
     return jax.tree_util.tree_map(ext, op)
 
 
+def _plan_local_pallas(ly, lx, n_steps, n_coef, has_post, itemsize, halo_steps):
+    """Round size k, block rows br, and padded row count for the local pass.
+
+    The per-shard domain is the halo-extended local block (ly+2k, lx+2k),
+    row-padded to a multiple of br; the pass kernel's own block trapezoid
+    needs k <= br and the usual VMEM budget (cheb_pass._vmem_rows).
+    """
+    from ..ops.pallas.cheb_pass import _vmem_rows, _VMEM_BUDGET
+
+    k_max = min(halo_steps or 16, n_steps, max(1, min(ly, lx) // 2))
+    for k in range(k_max, 0, -1):
+        cols_e = lx + 2 * k
+        budget_rows = _VMEM_BUDGET // (cols_e * itemsize)
+        br = None
+        cand = 8 * ((k + 7) // 8)  # smallest multiple of 8 >= k
+        while cand <= 512 and _vmem_rows(cand, k, n_coef, has_post) <= budget_rows:
+            br = cand
+            cand += 8
+        if br is None:
+            continue
+        rows_e = ly + 2 * k
+        rows_p = -(-rows_e // br) * br
+        n_pass = -(-n_steps // k)
+        base, extra = divmod(n_steps, n_pass)
+        steps = tuple(base + (1 if i < extra else 0) for i in range(n_pass))
+        return k, br, rows_p, steps
+    return None
+
+
 def make_sharded_scalar_apply(
     stencil: ScalarStencil5,
     spec: FilterSpec,
@@ -159,8 +188,12 @@ def make_sharded_scalar_apply(
     batch_axis: Optional[str] = None,
     halo_steps: Optional[int] = None,
 ):
-    """Compile ``field -> filtered`` with the domain sharded over ``mesh``."""
-    del use_pallas  # the sharded local step currently runs the XLA-fused path
+    """Compile ``field -> filtered`` with the domain sharded over ``mesh``.
+
+    The local compute inside each round is either the XLA-fused recurrence or
+    the temporally blocked Pallas pass (``use_pallas``: None = auto on TPU),
+    fed by the same device-level wide-halo exchange.
+    """
     yax, xax = spatial_axes
     y_axis = (yax, _axis_size(mesh, yax))
     x_axis = (xax, _axis_size(mesh, xax))
@@ -170,7 +203,43 @@ def make_sharded_scalar_apply(
     op_specs = jax.tree_util.tree_map(lambda l: _leaf_spec(l, yax, xax), stencil)
     field_spec = P(batch_axis, yax, xax)
 
-    def _local(st: ScalarStencil5, field: Array) -> Array:
+    # Pallas eligibility, decided from the HOST stencil (shard_map turns its
+    # python-float leaves into 0-d tracers): mask pattern must be h-space
+    # eliminable or absent, exactly as in ops.pallas.dispatch.
+    host_coef_names = tuple(
+        k for k in ("c", "n", "s", "e", "w")
+        if not isinstance(getattr(stencil, k), (int, float))
+    )
+    host_consts = {
+        k: float(getattr(stencil, k)) for k in ("c", "n", "s", "e", "w")
+        if k not in host_coef_names
+    }
+
+    def _binary01(arr):
+        a = np.asarray(arr)
+        return bool(np.all((a == 0) | (a == 1)))
+
+    drop_pre = (
+        stencil.pre is not None
+        and stencil.post is not None
+        and stencil.pre is stencil.post
+        and _binary01(stencil.pre)
+        and stencil.zap_nans
+    )
+    pallas_eligible = stencil.pre is None or drop_pre
+    land_gain = float(np.polynomial.chebyshev.chebval(-1.0, p_host))
+
+    def _pallas_on(dtype) -> bool:
+        if not pallas_eligible or not jnp.issubdtype(dtype, jnp.floating):
+            return False
+        if use_pallas is not None:
+            return use_pallas
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+
+    def _local_xla(st: ScalarStencil5, field: Array) -> Array:
         dtype = field.dtype
         ly, lx = field.shape[-2:]
         p = jnp.asarray(p_host, dtype=dtype)
@@ -212,6 +281,104 @@ def make_sharded_scalar_apply(
 
         return st.finalize(acc)
 
+    def _local_pallas_2d(st: ScalarStencil5, field: Array) -> Optional[Array]:
+        """Rounds with the temporally blocked Pallas pass as local compute.
+
+        Per round: one device-level wide-halo exchange extends the carries by
+        k cells; the extended (and row-padded) local block then runs the
+        periodic trapezoid kernel (ops/pallas/cheb_pass.build_local_pass) —
+        wrap/pad garbage stays confined to the halo zone, which is re-filled
+        by the next exchange and sliced off at the end.
+        """
+        from ..ops.pallas.cheb_pass import build_local_pass, ext_blocks_jnp
+
+        dtype = field.dtype
+        ly, lx = field.shape[-2:]
+        n_coef = len(host_coef_names)
+        has_post = stencil.post is not None
+        planned = _plan_local_pallas(
+            ly, lx, spec.n_steps, n_coef, has_post,
+            np.dtype(dtype).itemsize, halo_steps,
+        )
+        if planned is None:
+            return None
+        cells, br, rows_p, rounds = planned
+        cols_e = lx + 2 * cells
+        pad_rows = rows_p - (ly + 2 * cells)
+
+        # Extended + padded coefficient arrays, gathered to the kernel's
+        # (nb, br+2k, cols_e) layout once per apply. Padding goes on the
+        # north side, beyond the halo zone, where values are never read
+        # while valid.
+        hot = dataclasses.replace(st, pre=None) if drop_pre else st
+        ext_st = _extend_scalar_stencil(hot, cells, y_axis, x_axis)
+
+        def pad(a):
+            cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
+            return jnp.pad(a, cfgpad) if pad_rows else a
+
+        coef_exts = [
+            ext_blocks_jnp(pad(getattr(ext_st, k)).astype(dtype), br, cells)
+            for k in host_coef_names
+        ]
+        if has_post:
+            coef_exts.append(
+                ext_blocks_jnp(pad(ext_st.post).astype(dtype), br, cells)
+            )
+
+        fold = st.fold_north
+        fbar = st.prepare(field)
+        h = st.pre * jnp.nan_to_num(fbar) if drop_pre else fbar
+        p = jnp.asarray(p_host, dtype=dtype)
+        core = lambda a: a[..., cells : cells + ly, cells : cells + lx]
+
+        state = None
+        acc = None
+        off = 0
+        for m, n_ops in enumerate(rounds):
+            first = m == 0
+            last = m == len(rounds) - 1
+            pass_fn = build_local_pass(
+                rows_p, cols_e, dtype, br, cells, n_ops,
+                host_coef_names, host_consts, has_post,
+                zap=(False if drop_pre else stencil.zap_nans),
+                lap_scale=lap_scale, first_pass=first, last_pass=last,
+            )
+            if first:
+                ext = pad(halo.exchange_2d(h, cells, y_axis, x_axis, fold))
+                fields = (ext,)
+            else:
+                cur, prev = state
+                stacked = jnp.stack([cur, prev])
+                ext = pad(halo.exchange_2d(stacked, cells, y_axis, x_axis, fold))
+                fields = (ext[0], ext[1], acc)
+            n_p = n_ops + 1 if first else n_ops
+            out = pass_fn(p[off : off + n_p], coef_exts, *fields)
+            off += n_p
+            if last:
+                acc = out
+            else:
+                state = (core(out[0]), core(out[1]))
+                acc = out[2]
+
+        result = core(acc)
+        if drop_pre:
+            result = jnp.where(st.pre == 0, land_gain * fbar, result)
+        return st.finalize(result)
+
+    def _local(st: ScalarStencil5, field: Array) -> Array:
+        if _pallas_on(field.dtype):
+            # static feasibility check (same planner call as inside)
+            feasible = _plan_local_pallas(
+                field.shape[-2], field.shape[-1], spec.n_steps,
+                len(host_coef_names), stencil.post is not None,
+                np.dtype(field.dtype).itemsize, halo_steps,
+            )
+            if feasible is not None:
+                fn = lambda f: _local_pallas_2d(st, f)
+                return jax.vmap(fn)(field) if field.ndim == 3 else fn(field)
+        return _local_xla(st, field)
+
     sharded = shard_map(
         _local,
         mesh=mesh,
@@ -220,10 +387,13 @@ def make_sharded_scalar_apply(
         check_vma=False,
     )
 
-    @jax.jit
+    # stencil enters as a jit argument (constants would be serialized into
+    # the compile payload)
+    jitted = jax.jit(sharded)
+
     def apply_fn(field):
         arr, restore = _normalize(field)
-        return restore(sharded(stencil, arr))
+        return restore(jitted(stencil, arr))
 
     return apply_fn
 
@@ -301,11 +471,12 @@ def make_sharded_vector_apply(
         check_vma=False,
     )
 
-    @jax.jit
+    jitted = jax.jit(sharded)
+
     def apply_fn(u, v):
         u3, restore = _normalize(u)
         v3, _ = _normalize(v)
-        fu, fv = sharded(operator, u3, v3)
+        fu, fv = jitted(operator, u3, v3)
         return restore(fu), restore(fv)
 
     return apply_fn

@@ -119,3 +119,24 @@ def test_sharded_halo_round_sizes(tripolar_grid_data, halo_steps):
         np.asarray(filt.apply(data)), np.asarray(base.apply(data)),
         rtol=1e-10, atol=1e-12,
     )
+
+
+def test_sharded_pallas_local_compute(tripolar_grid_data):
+    """Pallas trapezoid kernel as the per-shard local compute (interpret mode)
+    must match the unsharded XLA engine exactly, fold seam included."""
+    grid_type, data, grid_vars = tripolar_grid_data
+    base = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False)
+    mesh = _mesh(2, 4)
+    filt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=True,
+                  mesh=mesh, spatial_axes=("y", "x"))
+    np.testing.assert_allclose(
+        np.asarray(filt.apply(data)), np.asarray(base.apply(data)),
+        rtol=1e-11, atol=1e-13,
+    )
+    batch = np.stack([data, 2 * data + 1])
+    np.testing.assert_allclose(
+        np.asarray(filt.apply(batch)), np.asarray(base.apply(batch)),
+        rtol=1e-11, atol=1e-13,
+    )
