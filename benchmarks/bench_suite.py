@@ -31,7 +31,7 @@ import gcm_filters_tpu as gf
 HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5": 2765.0}
 
 
-def chain_time(fn, x, n, reps=3):
+def chain_time(fn, x, n, reps=4):
     def run(k):
         t0 = time.perf_counter()
         y = x
@@ -46,7 +46,7 @@ def chain_time(fn, x, n, reps=3):
     return (tn - t1) / n
 
 
-def chain_time_vec(fn, u, v, n, reps=3):
+def chain_time_vec(fn, u, v, n, reps=4):
     def run(k):
         t0 = time.perf_counter()
         a, b = u, v
@@ -110,7 +110,7 @@ def main():
     dev = jax.devices()[0]
     hbm = next((v for k, v in HBM_GBPS.items() if k in dev.device_kind), None)
     ny, nx = (1200, 1800) if args.quick else (2400, 3600)
-    n_chain = 5 if args.quick else 20
+    n_chain = 5 if args.quick else 40
     rng = np.random.default_rng(42)
     data = rng.random((ny, nx)).astype(np.float32)
     x = jnp.asarray(data)
@@ -146,20 +146,22 @@ def main():
     v = jnp.asarray(rng.random((ny, nx)).astype(np.float32))
     for grid in (gf.GridType.VECTOR_C_GRID, gf.GridType.VECTOR_B_GRID):
         gv = grid_vars_for(grid, ny, nx, rng)
-        filt = gf.Filter(filter_scale=10.0, dx_min=1.0, grid_type=grid,
-                         grid_vars=gv, dtype=jnp.float32)
-        dt = chain_time_vec(filt._vector_fn(), u, v, n_chain)
-        row = dict(grid=grid.name, path="xla", n_steps=filt.n_steps,
-                   ms=round(dt * 1e3, 3),
-                   gps=round(2 * ny * nx * filt.n_steps / dt / 1e9, 2))
-        results.append(row)
-        print(json.dumps(row), flush=True)
+        paths = [False] if grid == gf.GridType.VECTOR_C_GRID else [True, False]
+        for pallas in paths:
+            filt = gf.Filter(filter_scale=10.0, dx_min=1.0, grid_type=grid,
+                             grid_vars=gv, dtype=jnp.float32, use_pallas=pallas)
+            dt = chain_time_vec(filt._vector_fn(), u, v, n_chain)
+            row = dict(grid=grid.name, path="pallas" if pallas else "xla",
+                       n_steps=filt.n_steps, ms=round(dt * 1e3, 3),
+                       gps=round(2 * ny * nx * filt.n_steps / dt / 1e9, 2))
+            results.append(row)
+            print(json.dumps(row), flush=True)
 
     n_dev = len(jax.devices())
     if n_dev > 1:
         from jax.sharding import Mesh
 
-        xs = max(d for d in (8, 4, 2) if n_dev % d == 0)
+        xs = max([d for d in (8, 4, 2) if n_dev % d == 0], default=1)
         mesh = Mesh(np.array(jax.devices()).reshape(n_dev // xs, xs), ("y", "x"))
         gv = grid_vars_for(gf.GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
                            ny, nx, rng)

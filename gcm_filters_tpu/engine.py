@@ -128,6 +128,25 @@ def _pallas_auto(use_pallas: bool | None) -> bool:
         return False
 
 
+def _operator_dtype_cache(operator):
+    """Per-compute-dtype eager device copies of an operator pytree.
+
+    The operator is a jit *argument* (constants would be serialized into the
+    compile payload), so repeated calls must hand jit the SAME committed
+    device arrays — passing host numpy would re-transfer every coefficient
+    on every call, and casting inside the program would re-run per call.
+    """
+    cache = {}
+
+    def get(dtype):
+        key = str(dtype)
+        if key not in cache:
+            cache[key] = _cast_operator(operator, dtype)  # eager off-trace
+        return cache[key]
+
+    return get
+
+
 def make_jitted_scalar_apply(
     stencil: ScalarStencil5, spec: FilterSpec, use_pallas: bool | None = None
 ):
@@ -145,13 +164,28 @@ def make_jitted_scalar_apply(
         if fn is not None:
             return fn  # manages its own jit + argument threading
     jitted = jax.jit(lambda st, field: scalar_filter_apply(st, spec, field))
-    return lambda field: jitted(stencil, field)
+    op_for = _operator_dtype_cache(stencil)
+
+    def call(field):
+        field = jnp.asarray(field)
+        return jitted(op_for(field.dtype), field)
+
+    return call
 
 
 def make_jitted_vector_apply(operator, spec: FilterSpec, use_pallas: bool | None = None):
     """A compiled ``(u, v) -> (filtered_u, filtered_v)`` function."""
-    # Vector operators currently run the XLA-fused path; the Pallas coupled
-    # B-grid kernel lands behind the same flag.
-    del use_pallas
+    if _pallas_auto(use_pallas):
+        from .ops.pallas.dispatch import make_pallas_vector_apply
+
+        fn = make_pallas_vector_apply(operator, spec)
+        if fn is not None:
+            return fn  # manages its own jit + argument threading
     jitted = jax.jit(lambda op, u, v: vector_filter_apply(op, spec, u, v))
-    return lambda u, v: jitted(operator, u, v)
+    op_for = _operator_dtype_cache(operator)
+
+    def call(u, v):
+        u = jnp.asarray(u)
+        return jitted(op_for(u.dtype), u, v)
+
+    return call

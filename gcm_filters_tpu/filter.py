@@ -340,6 +340,39 @@ class Filter:
             dask="parallelized",
         )
 
+    def apply_streamed(self, data, chunk: int = 16):
+        """Filter an out-of-core batch by streaming leading-dim chunks.
+
+        The device-memory analogue of the reference's dask batching
+        (reference filter.py:478-486 + docs/basic_filtering.rst:175-203):
+        ``data`` may be any array-like (numpy, memory-mapped, zarr array)
+        with shape ``(batch..., y, x)`` too large for device memory; chunks
+        of ``chunk`` slices are transferred, filtered on device, and
+        returned as one numpy array.
+        """
+        if self._is_vector:
+            raise ValueError(
+                f"Provided Laplacian {self.grid_type} is a vector Laplacian. "
+                "The ``.apply_streamed`` method is only suitable for scalar Laplacians."
+            )
+        shape = data.shape
+        if len(shape) < 3:
+            return np.asarray(self.apply(np.asarray(data)))
+        lead = shape[:-2]
+        n = int(np.prod(lead))
+        fn = self._scalar_fn()
+        out = None
+        for start in range(0, n, chunk):
+            stop = min(start + chunk, n)
+            idx = np.unravel_index(np.arange(start, stop), lead)
+            block = np.stack([np.asarray(data[tuple(i[j] for i in idx)])
+                              for j in range(stop - start)])
+            res = np.asarray(fn(self._coerce(block)))
+            if out is None:
+                out = np.empty(shape, dtype=res.dtype)
+            out.reshape((n,) + shape[-2:])[start:stop] = res
+        return out
+
     def apply_to_vector(self, ufield, vfield, dims: Optional[Sequence[str]] = None):
         """Filter a vector field (u, v) with a vector Laplacian.
 

@@ -1,12 +1,15 @@
 """Fused Pallas TPU kernels for the Chebyshev filter hot loop.
 
-Two regimes (see cheb_step.py / resident.py):
-  - resident: the whole field (and recurrence state) fits in VMEM — run every
-    Chebyshev step inside a single pallas_call (1 HBM read + 1 write total).
-  - streaming: per-step fused kernel pipelined over row blocks.
+Kernel families:
+  - cheb_pass.py: temporally blocked scalar pass (S steps per HBM sweep);
+    the workhorse. Also provides the runtime-coefficient variant used as the
+    per-shard local compute of the shard_map engine.
+  - cheb_step.py: single-step fused scalar kernel (fallback).
+  - vec_pass.py: coupled B-grid vector pass.
 
-``make_pallas_scalar_apply`` returns None when the grid/shape combination is
-not yet supported by a fused kernel; callers fall back to the XLA path.
+``make_pallas_scalar_apply`` / ``make_pallas_vector_apply`` return None when
+the grid/shape combination is not supported by a fused kernel; callers fall
+back to the XLA path.
 """
 from __future__ import annotations
 
@@ -17,3 +20,11 @@ def make_pallas_scalar_apply(stencil, spec):
     except ImportError:
         return None
     return _impl(stencil, spec)
+
+
+def make_pallas_vector_apply(operator, spec):
+    try:
+        from .dispatch import make_pallas_vector_apply as _impl
+    except ImportError:
+        return None
+    return _impl(operator, spec)

@@ -249,3 +249,90 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
         return out.reshape(lead + out.shape[-2:])
 
     return apply_fn
+
+
+def make_pallas_vector_apply(operator, spec: FilterSpec):
+    """``(u, v) -> (fu, fv)`` via the coupled B-grid pass kernel.
+
+    Only the B-grid operator has a Pallas path (the C-grid viscosity operator
+    is a two-stage stencil whose 16 metric arrays leave no VMEM headroom for
+    useful temporal blocking); returns None otherwise and the XLA engine
+    handles it. Same jit/caching/const-embedding structure as the scalar
+    dispatcher.
+    """
+    from ..stencil import BGridVectorStencil
+    from .vec_pass import build_vec_pass, host_vec_ext_inputs, plan_vec_passes
+
+    if not isinstance(operator, BGridVectorStencil):
+        return None
+
+    p_host = np.asarray(spec.p)
+    scale = _lap_scale(spec, operator.is_dimensional)
+
+    def _build_2d(ny, nx, dtype):
+        plan = plan_vec_passes(ny, nx, spec.n_steps, np.dtype(dtype).itemsize)
+        if plan is None:
+            return None
+        pass_fns = []
+        off = 0
+        for m, n_ops in enumerate(plan.steps):
+            first = m == 0
+            last = m == len(plan.steps) - 1
+            fn = build_vec_pass(scale, ny, nx, dtype, plan, n_ops, first, last,
+                                zap=operator.zap_nans)
+            n_p = n_ops + 1 if first else n_ops
+            pass_fns.append((fn, off, n_p, first, last))
+            off += n_p
+        ext_dev = [jnp.asarray(e) for e in
+                   host_vec_ext_inputs(operator, plan, dtype)]
+        total_bytes = sum(int(e.nbytes) for e in ext_dev)
+
+        def run(u, v, exts):
+            w = jnp.stack([u, v])
+            p = jnp.asarray(p_host, dtype=dtype)
+            state = (w,)
+            for fn, off, n_p, first, last in pass_fns:
+                out = fn(p[off : off + n_p], exts, *state)
+                state = (out,) if last else (out[0], out[1], out[2])
+            acc = state[0]
+            return acc[0], acc[1]
+
+        if total_bytes <= _CONST_EMBED_LIMIT:
+            embedded = jax.jit(lambda u, v: run(u, v, ext_dev))
+            return (lambda u, v, e: embedded(u, v)), ext_dev
+        return jax.jit(run), ext_dev
+
+    cache = {}
+
+    def _get(ny, nx, dtype):
+        key = (ny, nx, str(dtype))
+        if key not in cache:
+            cache[key] = _build_2d(ny, nx, dtype)
+        return cache[key]
+
+    def apply_fn(u, v):
+        from ...engine import vector_filter_apply
+
+        u = jnp.asarray(u)
+        v = jnp.asarray(v)
+        if (
+            not jnp.issubdtype(u.dtype, jnp.floating)
+            or u.ndim < 2
+            or u.shape != v.shape
+            or u.dtype != v.dtype
+        ):
+            return vector_filter_apply(operator, spec, u, v)
+        ny, nx = u.shape[-2:]
+        built = _get(ny, nx, u.dtype)
+        if built is None:
+            return vector_filter_apply(operator, spec, u, v)
+        fn, exts = built
+        if u.ndim == 2:
+            return fn(u, v, exts)
+        lead = u.shape[:-2]
+        uf = u.reshape((-1,) + u.shape[-2:])
+        vf = v.reshape((-1,) + v.shape[-2:])
+        fu, fv = jax.vmap(fn, in_axes=(0, 0, None))(uf, vf, exts)
+        return fu.reshape(lead + fu.shape[-2:]), fv.reshape(lead + fv.shape[-2:])
+
+    return apply_fn

@@ -1,0 +1,213 @@
+"""Temporally blocked Pallas pass for the coupled B-grid vector filter.
+
+Same trapezoid schedule as the scalar pass (cheb_pass.py), specialized to the
+POP B-grid friction operator (ops/stencil.BGridVectorStencil, reference
+kernels.py:702-840): two 5-point stencils — a diffusion set applied to each
+component and a mixing set coupling u<->v — advanced S recurrence steps per
+HBM sweep. The (u, v) pair rides as one stacked (2, ny, nx) array so every
+block carries both components and each of the ten coefficient arrays streams
+once per pass from a pre-gathered (nb, br+2H, nx) extended layout.
+
+The operator is doubly periodic with no land mask (parity with the
+reference), so the kernel needs no fold or mask handling; NaNs are scrubbed
+per step inside the window, matching the engine's nan_to_num semantics.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..stencil import BGridVectorStencil
+from .cheb_pass import _VMEM_BUDGET, PassPlan, ext_blocks_np
+
+# diffusion set (applied to each component) and mixing set (couples u<->v)
+_DIFF = ("cc", "dun", "dus", "due", "duw")
+_MIX = ("dmc", "dmn", "dms", "dme", "dmw")
+
+
+def _vmem_rows_vec(br: int, halo: int) -> int:
+    """VMEM rows (single-field units): 10 double-buffered stacked streams of
+    2*br rows + 10 coefficient ext streams + ~6 stacked window temps."""
+    win = br + 2 * halo
+    return 2 * 10 * (2 * br) + 2 * 10 * win + 12 * win
+
+
+def plan_vec_passes(
+    ny: int, nx: int, n_steps: int, itemsize: int, max_fuse: int = 16
+) -> Optional[PassPlan]:
+    budget_rows = _VMEM_BUDGET // (nx * itemsize)
+    brs = [b for b in range(8, min(ny, 256) + 1, 8) if ny % b == 0]
+    best = None
+    for br in brs:
+        h = min(max_fuse, n_steps, br)
+        while h >= 1 and _vmem_rows_vec(br, h) > budget_rows:
+            h -= 1
+        if h < 1:
+            continue
+        ext = 10.0 * (1.0 + 2.0 * h / br)
+        n_pass = -(-n_steps // h)
+        # stacked-field streams per pass: 12 reads + 2 acc + 6 writes
+        streams = n_pass * (14 + ext + 6) - 4
+        if best is None or streams < best[0]:
+            best = (streams, br, h)
+    if best is None:
+        return None
+    _, br, h = best
+    n_pass = -(-n_steps // h)
+    base, extra = divmod(n_steps, n_pass)
+    steps = tuple(base + (1 if i < extra else 0) for i in range(n_pass))
+    return PassPlan(br=br, halo=max(steps), steps=steps)
+
+
+def host_vec_ext_inputs(
+    op: BGridVectorStencil, plan: PassPlan, dtype
+) -> List[np.ndarray]:
+    """Extended-block layouts of the ten coefficient arrays (host-side)."""
+    npdt = np.dtype(dtype)
+    return [
+        ext_blocks_np(np.asarray(getattr(op, k), dtype=npdt), plan.br, plan.halo)
+        for k in (*_DIFF, *_MIX)
+    ]
+
+
+def build_vec_pass(
+    lap_scale: float,
+    ny: int,
+    nx: int,
+    dtype,
+    plan: PassPlan,
+    n_ops: int,
+    first_pass: bool,
+    last_pass: bool,
+    zap: bool = True,
+):
+    """One fused pass of ``n_ops`` coupled operator applications.
+
+      first+last : (p, coef_exts, w)            -> wacc
+      first      : (p, coef_exts, w)            -> (w1, w2, wacc)
+      middle     : (p, coef_exts, w1, w2, wacc) -> (w1, w2, wacc)
+      last       : (p, coef_exts, w1, w2, wacc) -> wacc
+
+    with w* stacked (2, ny, nx) arrays (u at index 0, v at index 1).
+    """
+    br, halo = plan.br, plan.halo
+    assert n_ops <= halo and halo <= br and ny % br == 0
+    nb = ny // br
+    win = br + 2 * halo
+    npdt = np.dtype(dtype)
+    neg2scale = npdt.type(-2.0 * lap_scale)
+    negscale = npdt.type(-lap_scale)
+    n_fields = 1 if first_pass else 2
+    n_p = n_ops + 1 if first_pass else n_ops
+
+    def kernel(p_ref, *refs):
+        refs = list(refs)
+        f_views = [[refs.pop(0) for _ in range(3)] for _ in range(n_fields)]
+        acc_ref = None if first_pass else refs.pop(0)
+        coef_refs = {k: refs.pop(0) for k in (*_DIFF, *_MIX)}
+        if last_pass:
+            (acc_out,) = refs
+            w1_out = w2_out = None
+        else:
+            w1_out, w2_out, acc_out = refs
+
+        def window(views):
+            own, prev, nxt = views
+            return jnp.concatenate(
+                [prev[:, br - halo :, :], own[...], nxt[:, :halo, :]], axis=1
+            )
+
+        def s5(g, names):
+            gn = jnp.concatenate([g[:, 1:, :], g[:, :1, :]], axis=1)
+            gs = jnp.concatenate([g[:, -1:, :], g[:, :-1, :]], axis=1)
+            ge = jnp.roll(g, -1, axis=-1)
+            gw = jnp.roll(g, 1, axis=-1)
+            c, n, s, e, w = (coef_refs[k][0] for k in names)
+            return c * g + n * gn + s * gs + e * ge + w * gw
+
+        def lap(t):
+            g = jnp.nan_to_num(t) if zap else t
+            diff = s5(g, _DIFF)
+            mix = s5(g, _MIX)
+            # u picks up the v mixing term and vice versa
+            return diff + jnp.stack([mix[1], mix[0]])
+
+        own = slice(halo, halo + br)
+        if first_pass:
+            prev = window(f_views[0])
+            cur = -prev + negscale * lap(prev)
+            acc = p_ref[0, 0] * prev[:, own] + p_ref[0, 1] * cur[:, own]
+            p_off = 2
+        else:
+            cur = window(f_views[0])
+            prev = window(f_views[1])
+            acc = acc_ref[...]
+            p_off = 0
+
+        n_rec = n_ops - 1 if first_pass else n_ops
+        for j in range(n_rec):
+            nxt = -2.0 * cur + neg2scale * lap(cur) - prev
+            acc = acc + p_ref[0, p_off + j] * nxt[:, own]
+            prev, cur = cur, nxt
+
+        if not last_pass:
+            w1_out[...] = cur[:, own]
+            w2_out[...] = prev[:, own]
+        acc_out[...] = acc
+
+    def blk(index_map=lambda i: (0, i, 0)):
+        return pl.BlockSpec((2, br, nx), index_map, memory_space=pltpu.VMEM)
+
+    def views():
+        return [
+            blk(),
+            blk(lambda i: (0, (i - 1) % nb, 0)),
+            blk(lambda i: (0, (i + 1) % nb, 0)),
+        ]
+
+    in_specs = [pl.BlockSpec((1, n_p), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+    for _ in range(n_fields):
+        in_specs += views()
+    if not first_pass:
+        in_specs.append(blk())
+    in_specs += [
+        pl.BlockSpec((1, win, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        for _ in range(10)
+    ]
+
+    n_out = 1 if last_pass else 3
+    grid_call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=[blk() for _ in range(n_out)],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, ny, nx), dtype) for _ in range(n_out)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=44 * n_ops * nb * win * nx,
+            bytes_accessed=(6 * n_fields + 2 * n_out + 2) * ny * nx
+            * npdt.itemsize + 10 * nb * win * nx * npdt.itemsize,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    def pass_fn(p_chunk, coef_exts, *fields_and_acc):
+        fields = fields_and_acc[:n_fields]
+        args = [jnp.reshape(p_chunk, (1, n_p)).astype(dtype)]
+        for f in fields:
+            args += [f, f, f]
+        if not first_pass:
+            args.append(fields_and_acc[n_fields])
+        args += list(coef_exts)
+        out = grid_call(*args)
+        return out[0] if last_pass else tuple(out)
+
+    return pass_fn

@@ -177,13 +177,13 @@ class BGridVectorStencil:
         if self.zap_nans:
             u = jnp.nan_to_num(u)
             v = jnp.nan_to_num(v)
-        u_out = self._s5(
-            u, self.cc, self.dun, self.dus, self.due, self.duw, shift
-        ) + self._s5(v, self.dmc, self.dmn, self.dms, self.dme, self.dmw, shift)
-        v_out = self._s5(
-            v, self.cc, self.dun, self.dus, self.due, self.duw, shift
-        ) + self._s5(u, self.dmc, self.dmn, self.dms, self.dme, self.dmw, shift)
-        return u_out, v_out
+        # Both components see the same diffusion and mixing stencils, so they
+        # are stacked on a leading axis and each coefficient array streams
+        # from HBM once per step instead of twice (broadcast over the stack).
+        w2 = jnp.stack([u, v])
+        diff = self._s5(w2, self.cc, self.dun, self.dus, self.due, self.duw, shift)
+        mix = self._s5(w2, self.dmc, self.dmn, self.dms, self.dme, self.dmw, shift)
+        return diff[0] + mix[1], diff[1] + mix[0]
 
     __call__ = laplacian
 

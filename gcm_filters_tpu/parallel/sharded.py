@@ -387,13 +387,17 @@ def make_sharded_scalar_apply(
         check_vma=False,
     )
 
-    # stencil enters as a jit argument (constants would be serialized into
-    # the compile payload)
+    # The stencil enters as a jit argument (constants would be serialized
+    # into the compile payload), converted to device arrays ONCE — passing
+    # host numpy would re-transfer every coefficient on every call.
     jitted = jax.jit(sharded)
+    stencil_dev = jax.tree_util.tree_map(
+        lambda l: l if isinstance(l, (int, float)) else jnp.asarray(l), stencil
+    )
 
     def apply_fn(field):
         arr, restore = _normalize(field)
-        return restore(jitted(stencil, arr))
+        return restore(jitted(stencil_dev, arr))
 
     return apply_fn
 
@@ -472,11 +476,14 @@ def make_sharded_vector_apply(
     )
 
     jitted = jax.jit(sharded)
+    operator_dev = jax.tree_util.tree_map(
+        lambda l: l if isinstance(l, (int, float)) else jnp.asarray(l), operator
+    )
 
     def apply_fn(u, v):
         u3, restore = _normalize(u)
         v3, _ = _normalize(v)
-        fu, fv = jitted(operator, u3, v3)
+        fu, fv = jitted(operator_dev, u3, v3)
         return restore(fu), restore(fv)
 
     return apply_fn

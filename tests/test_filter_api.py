@@ -204,3 +204,24 @@ def test_float32_path():
     out32 = np.asarray(filt.apply(data64.astype(np.float32)))
     assert out32.dtype == np.float32
     np.testing.assert_allclose(out32, out64, rtol=2e-4, atol=2e-5)
+
+
+def test_plot_shape_smoke():
+    """plot_shape draws target vs approximation with the cutoff line."""
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    filt = Filter(filter_scale=10.0, dx_min=1.0)
+    ax = filt.plot_shape()
+    assert len(ax.lines) >= 3  # target, approximation, cutoff
+    labels = [ln.get_label() for ln in ax.lines]
+    assert "target filter" in labels and "approximation" in labels
+
+
+def test_apply_streamed_matches_apply(scalar_grid_data):
+    grid_type, data, grid_vars = scalar_grid_data
+    filt = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False)
+    batch = np.stack([data + k for k in range(5)]).reshape(5, *data.shape)
+    want = np.asarray(filt.apply(batch))
+    got = filt.apply_streamed(batch, chunk=2)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
