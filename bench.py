@@ -65,8 +65,8 @@ def main():
 
     _timed_chain(fn, x, 1)  # warmup / compile
     t1 = min(_timed_chain(fn, x, 1) for _ in range(3))
-    t21 = min(_timed_chain(fn, x, 21) for _ in range(3))
-    dt = (t21 - t1) / 20
+    t201 = min(_timed_chain(fn, x, 201) for _ in range(3))
+    dt = (t201 - t1) / 200
 
     gps = ny * nx * filt.n_steps / dt
     print(

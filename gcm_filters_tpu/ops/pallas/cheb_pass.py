@@ -48,11 +48,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..stencil import ScalarStencil5
 
-# VMEM spent on Pallas-pipelined buffers; temporaries need headroom on top.
-# Tuned on v5e (16 MiB VMEM): 13 MiB here + the ~6-window temp allowance in
-# _vmem_rows compiles reliably and beats smaller budgets on the headline
-# workload (larger blocks -> less trapezoid recompute).
-_VMEM_BUDGET = 13 * 1024 * 1024
+# VMEM model budget (pipelined buffers + the ~6-window temp allowance in
+# _vmem_rows). Tuned on v5e: with the temp allowance the model overestimates,
+# so 16 MiB here admits the measured-fastest configs (e.g. br=48 single-pass
+# on the headline shape, +23% over br=24) while still rejecting the ones that
+# overflow physical VMEM at compile. The dispatcher additionally falls back
+# to XLA if a planned kernel fails to compile (dispatch.py).
+_VMEM_BUDGET = 16 * 1024 * 1024
 
 COEF_NAMES = ("c", "n", "s", "e", "w")
 # Reflection across the tripolar seam swaps the meaning of the neighbors.
@@ -75,15 +77,20 @@ def _coef_arrays(stencil: ScalarStencil5) -> List[str]:
     ]
 
 
-def _vmem_rows(br: int, halo: int, n_coef: int, has_post: bool) -> int:
+def _vmem_rows(
+    br: int, halo: int, n_coef: int, has_post: bool, single_pass: bool = False
+) -> int:
     """Rough VMEM footprint in rows for one (br, halo) config.
 
     Pipelined streams are double-buffered: field views (3x t1 + 3x t2), acc,
-    3 outputs = 10 blocked streams; (n_coef + post) extended-layout streams of
-    br+2H rows; plus ~6 live window temporaries inside the kernel body.
+    3 outputs = 10 blocked streams — but a single whole-recurrence pass
+    (first+last) needs only h's 3 views + the acc output = 4, which buys a
+    much larger block (less trapezoid recompute; the kernel is VPU-bound).
+    Plus (n_coef + post) extended-layout streams of br+2H rows and ~6 live
+    window temporaries inside the kernel body.
     """
     win = br + 2 * halo
-    blocked = 2 * 10 * br
+    blocked = 2 * (4 if single_pass else 10) * br
     ext = 2 * (n_coef + int(has_post)) * win
     temps = 6 * win
     return blocked + ext + temps
@@ -111,21 +118,27 @@ def plan_passes(
     for br in brs:
         # Largest per-pass step count allowed by this block height.
         h = min(max_fuse, n_steps, br)
-        while h >= 1 and _vmem_rows(br, h, n_coef, has_post) > budget_rows:
+        while h >= 1 and _vmem_rows(
+            br, h, n_coef, has_post, single_pass=(h >= n_steps)
+        ) > budget_rows:
             h -= 1
         if h < 1:
             continue
-        # HBM streams for the whole filter under this config (see module doc):
-        # pass 1 reads 3 field views + ext coefs, writes 3 (or 1 if single
-        # pass); later passes read 6 views + acc + ext coefs.
+        # Cost model: HBM streams for the whole filter (pass 1 reads 3 field
+        # views + ext coefs, writes 3 — or 1 if single pass; later passes
+        # read 6 views + acc + ext coefs), plus a VPU term for the redundant
+        # trapezoid compute at block seams (the fused kernel is VPU-bound on
+        # current TPUs, so seam overhead matters as much as streams).
         ext = (n_coef + int(has_post)) * (1.0 + 2.0 * h / br)
         n_pass = -(-n_steps // h)
         if n_pass == 1:
             streams = 3 + ext + 1
         else:
             streams = (3 + ext + 3) + (n_pass - 1) * (7 + ext + 3) - 2
-        if best is None or streams < best[0]:
-            best = (streams, br, h)
+        vpu = 3.0 * n_steps * (br + 2.0 * h) / br  # ~3 stream-equiv/step/cell
+        cost = streams + vpu
+        if best is None or cost < best[0]:
+            best = (cost, br, h)
     if best is None:
         return None
     _, br, h = best
@@ -226,9 +239,14 @@ def _build_pass_call(cfg: _PassConfig):
     """
     br, halo, nb, win = cfg.br, cfg.halo, cfg.nb, cfg.win
     npdt = np.dtype(cfg.dtype)
-    neg2scale = npdt.type(-2.0 * cfg.lap_scale)
-    negscale = npdt.type(-cfg.lap_scale)
-    coef_names, consts = cfg.coef_names, cfg.consts
+    # Coefficients (array inputs AND consts) arrive pre-scaled by -2*lap_scale
+    # so the recurrence needs no per-cell scale multiply:
+    #   lap'(t) = post * sum(X' * t_X),  X' = -2*lap_scale*X
+    #   A t     = -t + 0.5 * lap'(t)
+    #   t_next  = -2*t + lap'(t) - t_prev
+    half = npdt.type(0.5)
+    coef_names = cfg.coef_names
+    consts = {k: npdt.type(-2.0 * cfg.lap_scale * v) for k, v in cfg.consts.items()}
     has_post, zap, fold = cfg.has_post, cfg.zap, cfg.fold
 
     def kernel(p_ref, *refs):
@@ -276,7 +294,7 @@ def _build_pass_call(cfg: _PassConfig):
         own = slice(halo, halo + br)
         if cfg.first_pass:
             prev = window(f_views[0], mirrors[0] if fold else None)  # T_0 = h
-            cur = -prev + negscale * lap(prev)  # T_1 = A h
+            cur = -prev + half * lap(prev)  # T_1 = A h
             acc = p_ref[0, 0] * prev[own] + p_ref[0, 1] * cur[own]
             p_off = 2
         else:
@@ -287,7 +305,7 @@ def _build_pass_call(cfg: _PassConfig):
 
         n_rec = cfg.n_ops - 1 if cfg.first_pass else cfg.n_ops
         for j in range(n_rec):
-            nxt = -2.0 * cur + neg2scale * lap(cur) - prev
+            nxt = -2.0 * cur + lap(cur) - prev
             acc = acc + p_ref[0, p_off + j] * nxt[own]
             prev, cur = cur, nxt
 
@@ -412,25 +430,29 @@ def build_cheb_pass(
 
 
 def host_ext_inputs(
-    stencil: ScalarStencil5, plan: PassPlan, ny: int, nx: int, dtype
+    stencil: ScalarStencil5, plan: PassPlan, ny: int, nx: int, dtype,
+    lap_scale: float,
 ) -> List[np.ndarray]:
     """The extended-block coefficient arrays for :func:`build_cheb_pass`.
 
-    Built once per (plan, shape, dtype) on the host. The caller should pass
-    them to the compiled function as *runtime arguments* (eager device
-    arrays), never as trace-time constants — multi-hundred-MB constants get
-    serialized into the compile payload.
+    Built once per (plan, shape, dtype) on the host, pre-scaled by
+    ``-2*lap_scale`` (the kernel's coefficient convention; ``post`` is NOT
+    scaled). The caller should pass them to the compiled function as
+    *runtime arguments* (eager device arrays), never as trace-time
+    constants — multi-hundred-MB constants get serialized into the compile
+    payload.
     """
     br, halo = plan.br, plan.halo
     fold = stencil.fold_north
     npdt = np.dtype(dtype)
+    neg2s = npdt.type(-2.0 * lap_scale)
 
     def _host(a):
-        return np.asarray(a, dtype=npdt)
+        return np.asarray(a, dtype=npdt) * neg2s
 
     def _full(v):
         if isinstance(v, (int, float)):
-            return np.broadcast_to(npdt.type(v), (ny, nx))
+            return np.broadcast_to(npdt.type(v) * neg2s, (ny, nx))
         return _host(v)
 
     out = [
@@ -441,9 +463,8 @@ def host_ext_inputs(
         for k in _coef_arrays(stencil)
     ]
     if stencil.post is not None:
-        out.append(ext_blocks_np(
-            _host(stencil.post), br, halo, fold, _host(stencil.post)
-        ))
+        post = np.asarray(stencil.post, dtype=npdt)  # post is NOT scaled
+        out.append(ext_blocks_np(post, br, halo, fold, post))
     return out
 
 
@@ -467,7 +488,8 @@ def build_local_pass(
     Runtime-coefficient entry point: the (nb, br+2H, nx) extended-layout
     coefficient arrays are *arguments* of the returned function (built inside
     shard_map with :func:`ext_blocks_jnp` from device-halo-extended local
-    coefficients, once per apply). The kernel itself is purely periodic —
+    coefficients, once per apply). Array coefficients must be pre-scaled by
+    ``-2*lap_scale`` (post unscaled); the given ``consts`` are scaled here. The kernel itself is purely periodic —
     the device-level halo exchange already placed the fold/neighbor data, so
     wrap garbage at the domain edges stays confined to the halo zone that the
     caller discards.

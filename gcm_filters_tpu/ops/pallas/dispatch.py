@@ -162,7 +162,7 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
                 pass_fns.append((fn, off, n_p, first, last))
                 off += n_p
             ext_dev = [jnp.asarray(e) for e in
-                       host_ext_inputs(hot_host, plan, ny, nx, dtype)]
+                       host_ext_inputs(hot_host, plan, ny, nx, dtype, scale)]
             arrays_dev = _cast_arrays(arrays_host, dtype)
             total_bytes = sum(int(e.nbytes) for e in ext_dev) + sum(
                 int(a.nbytes) for a in arrays_dev.values()
@@ -230,23 +230,34 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
             cache[key] = _build_2d(ny, nx, dtype)
         return cache[key]
 
+    def _xla_fallback(field):
+        skel_fn = jax.jit(
+            lambda f, a: scalar_filter_apply(_merge_stencil(skeleton, a), spec, f)
+        )
+        return skel_fn(field, _cast_arrays(arrays_host, field.dtype))
+
     def apply_fn(field):
         field = jnp.asarray(field)
         if not jnp.issubdtype(field.dtype, jnp.floating) or field.ndim < 2:
-            skel_fn = jax.jit(
-                lambda f, a: scalar_filter_apply(
-                    _merge_stencil(skeleton, a), spec, f
-                )
-            )
-            return skel_fn(field, arrays_host)
+            return _xla_fallback(field)
         ny, nx = field.shape[-2:]
+        key = (ny, nx, str(field.dtype))
+        if cache.get(key) == "xla":
+            return _xla_fallback(field)
         fn, arrays_dev, exts = _get(ny, nx, field.dtype)
-        if field.ndim == 2:
-            return fn(field, arrays_dev, exts)
-        lead = field.shape[:-2]
-        flat = field.reshape((-1,) + field.shape[-2:])
-        out = jax.vmap(fn, in_axes=(0, None, None))(flat, arrays_dev, exts)
-        return out.reshape(lead + out.shape[-2:])
+        try:
+            if field.ndim == 2:
+                return fn(field, arrays_dev, exts)
+            lead = field.shape[:-2]
+            flat = field.reshape((-1,) + field.shape[-2:])
+            out = jax.vmap(fn, in_axes=(0, None, None))(flat, arrays_dev, exts)
+            return out.reshape(lead + out.shape[-2:])
+        except jax.errors.JaxRuntimeError:
+            # The VMEM planner is a model, not ground truth: if the chosen
+            # kernel config fails to compile on this chip, pin this shape to
+            # the XLA path permanently.
+            cache[key] = "xla"
+            return _xla_fallback(field)
 
     return apply_fn
 

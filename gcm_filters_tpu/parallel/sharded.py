@@ -317,8 +317,13 @@ def make_sharded_scalar_apply(
             cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
             return jnp.pad(a, cfgpad) if pad_rows else a
 
+        # Array coefficients are pre-scaled by -2*lap_scale (the pass
+        # kernel's coefficient convention; post is NOT scaled).
+        neg2s = np.dtype(dtype).type(-2.0 * lap_scale)
         coef_exts = [
-            ext_blocks_jnp(pad(getattr(ext_st, k)).astype(dtype), br, cells)
+            ext_blocks_jnp(
+                pad(getattr(ext_st, k)).astype(dtype) * neg2s, br, cells
+            )
             for k in host_coef_names
         ]
         if has_post:
