@@ -208,6 +208,14 @@ class _PassConfig:
     last_pass: bool
     lap_scale: float
     dtype: object
+    # End fusion (single-device path): the first pass takes the RAW field and
+    # does prepare (*area) + h-space masking in-window; the last pass does the
+    # land reconstruction + finalize (/area) and emits the filtered result —
+    # no XLA prologue/epilogue passes over the field at all.
+    fuse_ends: bool = False
+    has_area: bool = False
+    drop_pre: bool = False
+    land_gain: float = 0.0
 
     @property
     def nb(self) -> int:
@@ -249,13 +257,18 @@ def _build_pass_call(cfg: _PassConfig):
     consts = {k: npdt.type(-2.0 * cfg.lap_scale * v) for k, v in cfg.consts.items()}
     has_post, zap, fold = cfg.has_post, cfg.zap, cfg.fold
 
+    fuse = cfg.fuse_ends
+    need_field_own = fuse and cfg.last_pass and not cfg.first_pass
+
     def kernel(p_ref, *refs):
         refs = list(refs)
         f_views = [[refs.pop(0) for _ in range(3)] for _ in range(cfg.n_fields)]
         acc_ref = None if cfg.first_pass else refs.pop(0)
+        field_own_ref = refs.pop(0) if need_field_own else None
         mirrors = [refs.pop(0) for _ in range(cfg.n_fields)] if fold else []
         coef_refs = {k: refs.pop(0) for k in coef_names}
         post_ref = refs.pop(0) if has_post else None
+        area_ref = refs.pop(0) if (fuse and cfg.has_area) else None
         if cfg.last_pass:
             (acc_out,) = refs
             t1_out = t2_out = None
@@ -292,8 +305,19 @@ def _build_pass_call(cfg: _PassConfig):
             return out
 
         own = slice(halo, halo + br)
+        area = area_ref[0] if (fuse and cfg.has_area) else None
+        fbar_w = None
         if cfg.first_pass:
-            prev = window(f_views[0], mirrors[0] if fold else None)  # T_0 = h
+            w = window(f_views[0], mirrors[0] if fold else None)
+            if fuse:
+                # prepare (*area) + h-space masking, in-window
+                fbar_w = w * area if cfg.has_area else w
+                w = (
+                    post * jnp.nan_to_num(fbar_w)
+                    if cfg.drop_pre
+                    else fbar_w
+                )
+            prev = w  # T_0 = h
             cur = -prev + half * lap(prev)  # T_1 = A h
             acc = p_ref[0, 0] * prev[own] + p_ref[0, 1] * cur[own]
             p_off = 2
@@ -312,6 +336,23 @@ def _build_pass_call(cfg: _PassConfig):
         if not cfg.last_pass:
             t1_out[...] = cur[own]
             t2_out[...] = prev[own]
+            acc_out[...] = acc
+            return
+
+        if fuse:
+            # land reconstruction + finalize (/area), in-window
+            if cfg.drop_pre or cfg.has_area:
+                if cfg.first_pass:
+                    fbar_own = fbar_w[own]
+                elif cfg.has_area:
+                    fbar_own = field_own_ref[...] * area[own]
+                elif cfg.drop_pre:
+                    fbar_own = field_own_ref[...]
+            if cfg.drop_pre:
+                gain = npdt.type(cfg.land_gain)
+                acc = jnp.where(post[own] == 0, gain * fbar_own, acc)
+            if cfg.has_area:
+                acc = acc / area[own]
         acc_out[...] = acc
 
     def blk(index_map=lambda i: (i, 0)):
@@ -331,16 +372,19 @@ def _build_pass_call(cfg: _PassConfig):
         in_specs += views()
     if not cfg.first_pass:
         in_specs.append(blk())  # acc
+    if need_field_own:
+        in_specs.append(blk())  # raw field, own rows (finalize)
     if fold:
         in_specs += [
             pl.BlockSpec((cfg.rows_m, cfg.nx), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(cfg.n_fields)
         ]
+    n_ext = len(coef_names) + int(has_post) + int(fuse and cfg.has_area)
     in_specs += [
         pl.BlockSpec((1, win, cfg.nx), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
-        for _ in range(len(coef_names) + int(has_post))
+        for _ in range(n_ext)
     ]
 
     n_out = 1 if cfg.last_pass else 3
@@ -349,7 +393,7 @@ def _build_pass_call(cfg: _PassConfig):
         jax.ShapeDtypeStruct((cfg.ny, cfg.nx), cfg.dtype) for _ in range(n_out)
     ]
 
-    n_arrays = len(coef_names) + int(has_post)
+    n_arrays = n_ext
     return pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -376,20 +420,26 @@ def build_cheb_pass(
     n_ops: int,
     first_pass: bool,
     last_pass: bool,
+    drop_pre: bool = False,
+    land_gain: float = 0.0,
 ):
     """Build one fused pass performing ``n_ops`` operator applications.
 
-    Single-device entry point (fold-capable). ``coef_exts`` are the runtime
-    extended-layout coefficient arrays from :func:`host_ext_inputs`.
+    Single-device entry point (fold-capable), with END FUSION: the first pass
+    consumes the RAW field and performs prepare (*area) plus the h-space
+    masking in-window; the last pass performs the land reconstruction and
+    finalize (/area) and emits the final filtered result. ``coef_exts`` are
+    the runtime extended-layout arrays from :func:`host_ext_inputs`.
     Signatures of the returned function:
 
-      first+last : (p[0..n_ops],  coef_exts, h)           -> acc
-      first      : (p[0..n_ops],  coef_exts, h)           -> (t1, t2, acc)
-      middle     : (p[0..n_ops-1], coef_exts, t1, t2, acc) -> (t1, t2, acc)
-      last       : (p[0..n_ops-1], coef_exts, t1, t2, acc) -> acc
+      first+last : (p[0..n_ops],  coef_exts, field)                -> result
+      first      : (p[0..n_ops],  coef_exts, field)                -> (t1, t2, acc)
+      middle     : (p[0..n_ops-1], coef_exts, t1, t2, acc)         -> (t1, t2, acc)
+      last       : (p[0..n_ops-1], coef_exts, t1, t2, acc, field)  -> result
 
-    where h/t1/t2/acc are (ny, nx). ``stencil.pre`` must be None (h-space
-    recurrence, see dispatch.py).
+    where all arrays are (ny, nx). ``stencil.pre`` must be None on the hot
+    stencil; ``drop_pre`` says the h-space trick applies, with ``stencil.post``
+    as the 0/1 wet mask and ``land_gain = chebval(-1, p)`` (see dispatch.py).
     """
     assert stencil.pre is None
     br, halo = plan.br, plan.halo
@@ -397,7 +447,6 @@ def build_cheb_pass(
 
     coef_names = tuple(_coef_arrays(stencil))
     fold = stencil.fold_north
-    npdt = np.dtype(dtype)
     cfg = _PassConfig(
         ny=ny, nx=nx, br=br, halo=halo, n_ops=n_ops,
         coef_names=coef_names,
@@ -410,6 +459,10 @@ def build_cheb_pass(
         last_pass=last_pass,
         lap_scale=lap_scale,
         dtype=dtype,
+        fuse_ends=True,
+        has_area=stencil.area is not None,
+        drop_pre=drop_pre,
+        land_gain=land_gain,
     )
     grid_call = _build_pass_call(cfg)
 
@@ -420,6 +473,8 @@ def build_cheb_pass(
             args += [f, f, f]
         if not first_pass:
             args.append(fields_and_acc[cfg.n_fields])  # acc
+            if last_pass:
+                args.append(fields_and_acc[cfg.n_fields + 1])  # raw field
         if fold:
             args += [_mirror_chunk(f, halo, cfg.rows_m) for f in fields]
         args += list(coef_exts)
@@ -465,6 +520,9 @@ def host_ext_inputs(
     if stencil.post is not None:
         post = np.asarray(stencil.post, dtype=npdt)  # post is NOT scaled
         out.append(ext_blocks_np(post, br, halo, fold, post))
+    if stencil.area is not None:
+        area = np.asarray(stencil.area, dtype=npdt)  # area is NOT scaled
+        out.append(ext_blocks_np(area, br, halo, fold, area))
     return out
 
 

@@ -144,7 +144,8 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
             ny,
             nx,
             n_steps=spec.n_steps,
-            n_coef=len(_coef_arrays(hot_host)),
+            n_coef=len(_coef_arrays(hot_host))
+            + int(hot_host.area is not None),  # area rides the ext layout too
             has_post=hot_host.post is not None,
             itemsize=np.dtype(dtype).itemsize,
         )
@@ -156,7 +157,8 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
                 first = m == 0
                 last = m == len(plan.steps) - 1
                 fn = build_cheb_pass(
-                    hot_host, scale, ny, nx, dtype, plan, n_ops, first, last
+                    hot_host, scale, ny, nx, dtype, plan, n_ops, first, last,
+                    drop_pre=drop_pre, land_gain=land_gain,
                 )
                 n_p = n_ops + 1 if first else n_ops
                 pass_fns.append((fn, off, n_p, first, last))
@@ -164,27 +166,23 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
             ext_dev = [jnp.asarray(e) for e in
                        host_ext_inputs(hot_host, plan, ny, nx, dtype, scale)]
             arrays_dev = _cast_arrays(arrays_host, dtype)
-            total_bytes = sum(int(e.nbytes) for e in ext_dev) + sum(
-                int(a.nbytes) for a in arrays_dev.values()
-            )
+            total_bytes = sum(int(e.nbytes) for e in ext_dev)
 
             def run(field, arrays, exts):
-                st = _merge_stencil(skeleton, arrays)
-                fbar = st.prepare(field)
-                h = st.pre * jnp.nan_to_num(fbar) if drop_pre else fbar
+                # prepare/masking/finalize are all fused into the first and
+                # last kernel passes; nothing touches the field in XLA.
+                del arrays
                 p = jnp.asarray(p_host, dtype=dtype)
-                state = (h,)
+                state = (field,)
                 for fn, off, n_p, first, last in pass_fns:
-                    out = fn(p[off : off + n_p], exts, *state)
+                    args = state + ((field,) if last and not first else ())
+                    out = fn(p[off : off + n_p], exts, *args)
                     state = (out,) if last else (out[0], out[1], out[2])
-                acc = state[0]
-                if drop_pre:
-                    acc = jnp.where(st.pre == 0, land_gain * fbar, acc)
-                return st.finalize(acc)
+                return state[0]
 
             if total_bytes <= _CONST_EMBED_LIMIT:
                 embedded = jax.jit(
-                    lambda field: run(field, arrays_dev, ext_dev)
+                    lambda field: run(field, None, ext_dev)
                 )
                 return (lambda f, a, e: embedded(f)), arrays_dev, ext_dev
             return jax.jit(run), arrays_dev, ext_dev
