@@ -349,8 +349,14 @@ def _build_pass_call(cfg: _PassConfig):
                 elif cfg.drop_pre:
                     fbar_own = field_own_ref[...]
             if cfg.drop_pre:
+                # 0*fbar poisons wet-cell NaNs back into the result (the
+                # h-space recurrence scrubbed them; the reference keeps a
+                # NaN cell NaN while neighbors see it as zero).
                 gain = npdt.type(cfg.land_gain)
-                acc = jnp.where(post[own] == 0, gain * fbar_own, acc)
+                acc = jnp.where(
+                    post[own] == 0, gain * fbar_own,
+                    acc + fbar_own * npdt.type(0),
+                )
             if cfg.has_area:
                 acc = acc / area[own]
         acc_out[...] = acc

@@ -9,9 +9,14 @@ pre-mask from the hot loop. With h_k = wet * nan_to_num(t_k):
 
 is closed in h, and on land the shifted operator is exactly -identity, so
 t_k = (-1)^k fbar and the filtered land value is chebval(-1, p) * fbar
-— reconstructed in one fused where() at the end (NaN land inputs stay NaN,
-matching the reference). This cuts one full array stream per step and keeps
-the kernel uniform across all scalar grid types.
+— reconstructed in one fused where() at the end. NaN semantics: land NaNs
+stay NaN exactly as in the reference, and a NaN at a WET cell stays NaN too
+(poisoned back via 0*fbar); but its *neighborhood* sees it as zero initial
+data rather than the reference's persistent zero source, so values within
+n_steps cells of a wet NaN differ from the reference (exact emulation would
+require re-masking every step — the very work h-space eliminates; the
+reference's own docs only place NaNs on land). This cuts one full array
+stream per step and keeps the kernel uniform across all scalar grid types.
 
 Compilation structure: the returned apply function manages its own jit with a
 per-(shape, dtype) cache, and every large array — stencil coefficients,
@@ -215,7 +220,8 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
 
             (acc, _, _), _ = jax.lax.scan(body, (acc, t1, t2), p[2:])
             if drop_pre:
-                acc = jnp.where(st.pre == 0, land_gain * fbar, acc)
+                # 0*fbar restores wet-cell NaNs scrubbed by the h-space trick
+                acc = jnp.where(st.pre == 0, land_gain * fbar, acc + 0 * fbar)
             return st.finalize(acc)
 
         return jax.jit(run_single), arrays_dev, []

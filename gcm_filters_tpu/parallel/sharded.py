@@ -368,7 +368,8 @@ def make_sharded_scalar_apply(
 
         result = core(acc)
         if drop_pre:
-            result = jnp.where(st.pre == 0, land_gain * fbar, result)
+            # 0*fbar restores wet-cell NaNs scrubbed by the h-space trick
+            result = jnp.where(st.pre == 0, land_gain * fbar, result + 0 * fbar)
         return st.finalize(result)
 
     def _local(st: ScalarStencil5, field: Array) -> Array:

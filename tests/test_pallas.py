@@ -115,3 +115,35 @@ def test_pallas_bgrid_vector_pass(vector_grid_data):
         filt.operator, filt.filter_spec, jnp.asarray(u), jnp.asarray(v)))
     np.testing.assert_allclose(gu, wu, rtol=1e-11, atol=1e-13)
     np.testing.assert_allclose(gv, wv, rtol=1e-11, atol=1e-13)
+
+
+def test_pallas_wet_cell_nan_semantics():
+    """A NaN at a WET cell stays NaN, and the divergence from the reference
+    is confined to the cell's filter-radius neighborhood.
+
+    The reference treats a wet NaN cell as a persistent zero *source* (it is
+    re-scrubbed every step); the h-space recurrence treats it as zero
+    *initial data* — exact emulation would require re-masking every step,
+    which is the work h-space eliminates. Outside the n_steps Manhattan ball
+    the two agree to roundoff, and the NaN cell itself is poisoned back into
+    the result (see dispatch.py)."""
+    ny, nx = 32, 128
+    wet = np.ones((ny, nx)); wet[0] = 0
+    area = np.ones((ny, nx))
+    filt = Filter(filter_scale=4.0, dx_min=1.0,
+                  grid_type=GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+                  grid_vars={"area": area, "wet_mask": wet}, use_pallas=False)
+    data = np.random.default_rng(9).random((ny, nx))
+    cy, cx = 10, 20
+    data[cy, cx] = np.nan  # wet cell
+    fn = make_pallas_scalar_apply(filt.operator, filt.filter_spec)
+    got = np.asarray(fn(jnp.asarray(data)))
+    want = np.asarray(
+        scalar_filter_apply(filt.operator, filt.filter_spec, jnp.asarray(data))
+    )
+    assert (np.isnan(got) == np.isnan(want)).all()
+    assert np.isnan(got[cy, cx])
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    far = (np.abs(yy - cy) + np.abs(xx - cx)) > filt.n_steps
+    far &= ~np.isnan(want)
+    np.testing.assert_allclose(got[far], want[far], rtol=1e-11, atol=1e-13)
