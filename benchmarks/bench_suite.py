@@ -110,7 +110,7 @@ def main():
     dev = jax.devices()[0]
     hbm = next((v for k, v in HBM_GBPS.items() if k in dev.device_kind), None)
     ny, nx = (1200, 1800) if args.quick else (2400, 3600)
-    n_chain = 5 if args.quick else 40
+    n_chain = 5 if args.quick else 120
     rng = np.random.default_rng(42)
     data = rng.random((ny, nx)).astype(np.float32)
     x = jnp.asarray(data)

@@ -64,10 +64,12 @@ _ARRAY_FIELDS = ("c", "n", "s", "e", "w", "pre", "post", "area")
 # Coefficient arrays are embedded as trace-time constants when their total
 # size stays under this limit: constants let XLA pre-tile them for the Pallas
 # custom call (measured ~1.6x faster than parameter passing, which relayouts
-# per call), but oversized constants overflow the remote-compile transport
-# (HTTP 413 at ~0.5 GB) and bloat compile caches. Above the limit everything
-# is threaded as runtime arguments.
-_CONST_EMBED_LIMIT = 384 * 1024 * 1024
+# per call). But big constants are poison: ~290 MB embedded was observed to
+# re-ship per execution through the remote-device transport (~800x slowdown),
+# and ~0.5 GB overflows the compile payload outright (HTTP 413). 192 MB keeps
+# the measured-good configs (headline tripolar: ~151 MB) on the fast path and
+# sends the 5-coefficient grids through runtime arguments.
+_CONST_EMBED_LIMIT = 192 * 1024 * 1024
 
 
 def _split_stencil(stencil: ScalarStencil5):

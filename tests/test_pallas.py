@@ -147,3 +147,20 @@ def test_pallas_wet_cell_nan_semantics():
     far = (np.abs(yy - cy) + np.abs(xx - cx)) > filt.n_steps
     far &= ~np.isnan(want)
     np.testing.assert_allclose(got[far], want[far], rtol=1e-11, atol=1e-13)
+
+
+def test_pallas_fallback_odd_shapes():
+    """Shapes the planner can't block (rows not a multiple of 8) must fall
+    through the dispatch chain to the XLA engine and stay exact."""
+    ny, nx = 126, 130  # no multiple-of-8 divisor of ny
+    wet = np.ones((ny, nx)); wet[0] = 0
+    filt = Filter(filter_scale=4.0, dx_min=1.0,
+                  grid_type=GridType.REGULAR_WITH_LAND,
+                  grid_vars={"wet_mask": wet}, use_pallas=False)
+    data = np.random.default_rng(2).random((ny, nx))
+    fn = make_pallas_scalar_apply(filt.operator, filt.filter_spec)
+    got = np.asarray(fn(jnp.asarray(data)))
+    want = np.asarray(
+        scalar_filter_apply(filt.operator, filt.filter_spec, jnp.asarray(data))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-13)
