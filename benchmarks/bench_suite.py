@@ -31,6 +31,12 @@ import gcm_filters_tpu as gf
 HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5": 2765.0}
 
 
+def _adaptive_n(est, cap):
+    """Chain length targeting ~0.12 s of steady-state work (sub-ms kernels
+    need long chains for the differencing to beat dispatch-latency noise)."""
+    return min(cap, max(20, int(0.12 / max(est, 1e-5))))
+
+
 def chain_time(fn, x, n, reps=4):
     def run(k):
         t0 = time.perf_counter()
@@ -42,6 +48,7 @@ def chain_time(fn, x, n, reps=4):
 
     run(1)  # compile/warm
     t1 = min(run(1) for _ in range(reps))
+    n = _adaptive_n((run(11) - t1) / 10, n)
     tn = min(run(n + 1) for _ in range(reps))
     return (tn - t1) / n
 
@@ -57,6 +64,7 @@ def chain_time_vec(fn, u, v, n, reps=4):
 
     run(1)
     t1 = min(run(1) for _ in range(reps))
+    n = _adaptive_n((run(11) - t1) / 10, n)
     tn = min(run(n + 1) for _ in range(reps))
     return (tn - t1) / n
 
@@ -110,7 +118,7 @@ def main():
     dev = jax.devices()[0]
     hbm = next((v for k, v in HBM_GBPS.items() if k in dev.device_kind), None)
     ny, nx = (1200, 1800) if args.quick else (2400, 3600)
-    n_chain = 5 if args.quick else 120
+    n_chain = 5 if args.quick else 200
     rng = np.random.default_rng(42)
     data = rng.random((ny, nx)).astype(np.float32)
     x = jnp.asarray(data)
