@@ -269,25 +269,42 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
 
 
 def make_pallas_vector_apply(operator, spec: FilterSpec):
-    """``(u, v) -> (fu, fv)`` via the coupled B-grid pass kernel.
+    """``(u, v) -> (fu, fv)`` via the coupled vector pass kernels.
 
-    Only the B-grid operator has a Pallas path (the C-grid viscosity operator
-    is a two-stage stencil whose 16 metric arrays leave no VMEM headroom for
-    useful temporal blocking); returns None otherwise and the XLA engine
-    handles it. Same jit/caching/const-embedding structure as the scalar
-    dispatcher.
+    B-grid: the native diffusion+mixing 5-point pair (vec_pass.build_vec_pass).
+    C-grid: the operator is first algebraically expanded into an 18-array
+    coupled 9-point tap stencil (ops/ctaps.py), turning the two-stage strain/
+    divergence form into a single reach-1 contraction the trapezoid kernel
+    can block. Same jit/caching/const-embedding structure as the scalar
+    dispatcher; returns None for unsupported operators.
     """
-    from ..stencil import BGridVectorStencil
-    from .vec_pass import build_vec_pass, host_vec_ext_inputs, plan_vec_passes
+    from ..stencil import BGridVectorStencil, CGridVectorOperator
+    from .vec_pass import (
+        build_ctap_pass,
+        build_vec_pass,
+        host_ctap_ext_inputs,
+        host_vec_ext_inputs,
+        plan_ctap_passes,
+        plan_vec_passes,
+    )
 
-    if not isinstance(operator, BGridVectorStencil):
+    if isinstance(operator, BGridVectorStencil):
+        is_ctap = False
+    elif isinstance(operator, CGridVectorOperator):
+        is_ctap = True
+    else:
         return None
 
     p_host = np.asarray(spec.p)
     scale = _lap_scale(spec, operator.is_dimensional)
+    if is_ctap:
+        from ..ctaps import cgrid_tap_arrays
+
+        taps = cgrid_tap_arrays(operator)
 
     def _build_2d(ny, nx, dtype):
-        plan = plan_vec_passes(ny, nx, spec.n_steps, np.dtype(dtype).itemsize)
+        planner = plan_ctap_passes if is_ctap else plan_vec_passes
+        plan = planner(ny, nx, spec.n_steps, np.dtype(dtype).itemsize)
         if plan is None:
             return None
         pass_fns = []
@@ -295,13 +312,20 @@ def make_pallas_vector_apply(operator, spec: FilterSpec):
         for m, n_ops in enumerate(plan.steps):
             first = m == 0
             last = m == len(plan.steps) - 1
-            fn = build_vec_pass(scale, ny, nx, dtype, plan, n_ops, first, last,
-                                zap=operator.zap_nans)
+            if is_ctap:
+                fn = build_ctap_pass(scale, ny, nx, dtype, plan, n_ops,
+                                     first, last, zap=operator.zap_nans)
+            else:
+                fn = build_vec_pass(scale, ny, nx, dtype, plan, n_ops,
+                                    first, last, zap=operator.zap_nans)
             n_p = n_ops + 1 if first else n_ops
             pass_fns.append((fn, off, n_p, first, last))
             off += n_p
-        ext_dev = [jnp.asarray(e) for e in
-                   host_vec_ext_inputs(operator, plan, dtype)]
+        if is_ctap:
+            ext_host = host_ctap_ext_inputs(taps, plan, dtype, scale)
+        else:
+            ext_host = host_vec_ext_inputs(operator, plan, dtype)
+        ext_dev = [jnp.asarray(e) for e in ext_host]
         total_bytes = sum(int(e.nbytes) for e in ext_dev)
 
         def run(u, v, exts):

@@ -211,3 +211,204 @@ def build_vec_pass(
         return out[0] if last_pass else tuple(out)
 
     return pass_fn
+
+
+# ---------------------------------------------------------------------------
+# C-grid: tap-expanded coupled 9-point pass (see ops/ctaps.py)
+# ---------------------------------------------------------------------------
+
+
+def _vmem_rows_ctap(br: int, halo: int) -> int:
+    """10 double-buffered stacked field streams + 18 ext streams + temps."""
+    win = br + 2 * halo
+    return 2 * 10 * (2 * br) + 2 * 18 * win + 14 * win
+
+
+def plan_ctap_passes(
+    ny: int, nx: int, n_steps: int, itemsize: int, max_fuse: int = 16
+) -> Optional[PassPlan]:
+    # 18 live coefficient windows leave less slack than the scalar kernel;
+    # a 1 MiB margin keeps Mosaic's scoped-vmem stack under the 16 MiB limit.
+    budget_rows = (_VMEM_BUDGET - (1 << 20)) // (nx * itemsize)
+    brs = [b for b in range(8, min(ny, 256) + 1, 8) if ny % b == 0]
+    best = None
+    for br in brs:
+        h = min(max_fuse, n_steps, br)
+        while h >= 1 and _vmem_rows_ctap(br, h) > budget_rows:
+            h -= 1
+        if h < 1:
+            continue
+        ext = 18.0 * (1.0 + 2.0 * h / br)
+        n_pass = -(-n_steps // h)
+        streams = n_pass * (14 + ext + 6) - 4
+        if best is None or streams < best[0]:
+            best = (streams, br, h)
+    if best is None:
+        return None
+    _, br, h = best
+    n_pass = -(-n_steps // h)
+    base, extra = divmod(n_steps, n_pass)
+    steps = tuple(base + (1 if i < extra else 0) for i in range(n_pass))
+    return PassPlan(br=br, halo=max(steps), steps=steps)
+
+
+def host_ctap_ext_inputs(taps, plan: PassPlan, dtype, lap_scale: float):
+    """Extended-block layouts of the 18 tap arrays, pre-scaled by -2*lap_scale
+    (the pass kernel's coefficient convention). Order follows ctaps.CTAPS."""
+    from ..ctaps import CTAPS
+
+    npdt = np.dtype(dtype)
+    neg2s = npdt.type(-2.0 * lap_scale)
+    return [
+        ext_blocks_np(np.asarray(taps[name], dtype=npdt) * neg2s,
+                      plan.br, plan.halo)
+        for name, *_ in CTAPS
+    ]
+
+
+def build_ctap_pass(
+    lap_scale: float,
+    ny: int,
+    nx: int,
+    dtype,
+    plan: PassPlan,
+    n_ops: int,
+    first_pass: bool,
+    last_pass: bool,
+    zap: bool = True,
+):
+    """One fused pass of the tap-expanded C-grid operator.
+
+    Same structure and signatures as :func:`build_vec_pass`, with the
+    diffusion/mixing 5-point pair replaced by the 18-tap coupled contraction
+    (coefficients pre-scaled by -2*lap_scale; A-step uses the 0.5 factor).
+    """
+    br, halo = plan.br, plan.halo
+    assert n_ops <= halo and halo <= br and ny % br == 0
+    nb = ny // br
+    win = br + 2 * halo
+    npdt = np.dtype(dtype)
+    half = npdt.type(0.5)
+    n_fields = 1 if first_pass else 2
+    n_p = n_ops + 1 if first_pass else n_ops
+
+    def kernel(p_ref, *refs):
+        from ..ctaps import CTAPS
+
+        refs = list(refs)
+        f_views = [[refs.pop(0) for _ in range(3)] for _ in range(n_fields)]
+        acc_ref = None if first_pass else refs.pop(0)
+        tap_refs = {name: refs.pop(0) for name, *_ in CTAPS}
+        if last_pass:
+            (acc_out,) = refs
+            w1_out = w2_out = None
+        else:
+            w1_out, w2_out, acc_out = refs
+
+        def window(views):
+            own, prev, nxt = views
+            return jnp.concatenate(
+                [prev[:, br - halo :, :], own[...], nxt[:, :halo, :]], axis=1
+            )
+
+        def c(name):
+            return tap_refs[name][0]
+
+        def lap(t):
+            g = jnp.nan_to_num(t) if zap else t
+            # stacked 4-neighborhood shifts serve both components; the two
+            # diagonal taps are lane-rolls of already-shifted planes.
+            # sh(a, dy, dx)[r, c] = a[r+dy, c+dx] (periodic within window)
+            gN = jnp.concatenate([g[:, 1:, :], g[:, :1, :]], axis=1)
+            gS = jnp.concatenate([g[:, -1:, :], g[:, :-1, :]], axis=1)
+            gE = jnp.roll(g, -1, axis=-1)
+            gW = jnp.roll(g, 1, axis=-1)
+            uNW = jnp.roll(gN[0], 1, axis=-1)   # u[j+1, i-1]
+            vSE = jnp.roll(gS[1], -1, axis=-1)  # v[j-1, i+1]
+            lap_u = (
+                c("CU_c") * g[0] + c("CU_w") * gW[0] + c("CU_e") * gE[0]
+                + c("CU_s") * gS[0] + c("CU_n") * gN[0]
+                + c("DU_c") * g[1] + c("DU_s") * gS[1] + c("DU_e") * gE[1]
+                + c("DU_se") * vSE
+            )
+            lap_v = (
+                c("CV_c") * g[1] + c("CV_w") * gW[1] + c("CV_e") * gE[1]
+                + c("CV_s") * gS[1] + c("CV_n") * gN[1]
+                + c("DV_c") * g[0] + c("DV_w") * gW[0] + c("DV_n") * gN[0]
+                + c("DV_nw") * uNW
+            )
+            return jnp.stack([lap_u, lap_v])
+
+        own = slice(halo, halo + br)
+        if first_pass:
+            prev = window(f_views[0])
+            cur = -prev + half * lap(prev)
+            acc = p_ref[0, 0] * prev[:, own] + p_ref[0, 1] * cur[:, own]
+            p_off = 2
+        else:
+            cur = window(f_views[0])
+            prev = window(f_views[1])
+            acc = acc_ref[...]
+            p_off = 0
+
+        n_rec = n_ops - 1 if first_pass else n_ops
+        for j in range(n_rec):
+            nxt = -2.0 * cur + lap(cur) - prev
+            acc = acc + p_ref[0, p_off + j] * nxt[:, own]
+            prev, cur = cur, nxt
+
+        if not last_pass:
+            w1_out[...] = cur[:, own]
+            w2_out[...] = prev[:, own]
+        acc_out[...] = acc
+
+    def blk(index_map=lambda i: (0, i, 0)):
+        return pl.BlockSpec((2, br, nx), index_map, memory_space=pltpu.VMEM)
+
+    def views():
+        return [
+            blk(),
+            blk(lambda i: (0, (i - 1) % nb, 0)),
+            blk(lambda i: (0, (i + 1) % nb, 0)),
+        ]
+
+    in_specs = [pl.BlockSpec((1, n_p), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+    for _ in range(n_fields):
+        in_specs += views()
+    if not first_pass:
+        in_specs.append(blk())
+    in_specs += [
+        pl.BlockSpec((1, win, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        for _ in range(18)
+    ]
+
+    n_out = 1 if last_pass else 3
+    grid_call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=[blk() for _ in range(n_out)],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, ny, nx), dtype) for _ in range(n_out)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=40 * n_ops * nb * win * nx,
+            bytes_accessed=(6 * n_fields + 2 * n_out + 2) * ny * nx
+            * npdt.itemsize + 18 * nb * win * nx * npdt.itemsize,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    def pass_fn(p_chunk, coef_exts, *fields_and_acc):
+        fields = fields_and_acc[:n_fields]
+        args = [jnp.reshape(p_chunk, (1, n_p)).astype(dtype)]
+        for f in fields:
+            args += [f, f, f]
+        if not first_pass:
+            args.append(fields_and_acc[n_fields])
+        args += list(coef_exts)
+        out = grid_call(*args)
+        return out[0] if last_pass else tuple(out)
+
+    return pass_fn

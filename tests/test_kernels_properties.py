@@ -196,3 +196,22 @@ def test_nan_propagation_on_land(scalar_grid_data):
     data_nan[wet == 0] = np.nan
     out = np.asarray(op.laplacian(data_nan))
     assert np.isfinite(out[wet == 1]).all()
+
+
+def test_cgrid_tap_expansion_exact(vector_grid_data):
+    """The tap expansion of the C-grid operator (ops/ctaps.py) must equal the
+    staged strain/divergence form to roundoff, including on random metrics."""
+    import jax.numpy as jnp
+
+    from gcm_filters_tpu.ops.ctaps import apply_taps, cgrid_tap_arrays
+    from gcm_filters_tpu.ops import build_operator
+
+    grid_type, (u, v), grid_vars = vector_grid_data
+    if grid_type != GridType.VECTOR_C_GRID:
+        pytest.skip("tap expansion is C-grid specific")
+    op = build_operator(grid_type, grid_vars)
+    lu, lv = op.laplacian(jnp.asarray(u), jnp.asarray(v))
+    tu, tv = apply_taps(cgrid_tap_arrays(op), jnp.asarray(u), jnp.asarray(v))
+    scale = max(float(jnp.abs(lu).max()), float(jnp.abs(lv).max()))
+    assert float(jnp.abs(tu - lu).max()) / scale < 1e-13
+    assert float(jnp.abs(tv - lv).max()) / scale < 1e-13

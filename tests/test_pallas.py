@@ -97,8 +97,12 @@ def test_pallas_nan_propagation():
     np.testing.assert_allclose(got[mask], want[mask], rtol=1e-11, atol=1e-13)
 
 
-def test_pallas_bgrid_vector_pass(vector_grid_data):
-    """Coupled B-grid vector pass vs the XLA engine (C-grid falls back)."""
+def test_pallas_vector_pass(vector_grid_data):
+    """Coupled vector passes vs the XLA engine.
+
+    B-grid uses its native diffusion/mixing pair; C-grid goes through the
+    tap expansion (ops/ctaps.py), whose different FP evaluation order means
+    a slightly looser (but still float64-tight) tolerance."""
     from gcm_filters_tpu.engine import vector_filter_apply
     from gcm_filters_tpu.ops.pallas import make_pallas_vector_apply
 
@@ -106,15 +110,14 @@ def test_pallas_bgrid_vector_pass(vector_grid_data):
     filt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
                   grid_vars=grid_vars, use_pallas=False)
     fn = make_pallas_vector_apply(filt.operator, filt.filter_spec)
-    if grid_type == GridType.VECTOR_C_GRID:
-        assert fn is None
-        return
     assert fn is not None
     gu, gv = (np.asarray(a) for a in fn(jnp.asarray(u), jnp.asarray(v)))
     wu, wv = (np.asarray(a) for a in vector_filter_apply(
         filt.operator, filt.filter_spec, jnp.asarray(u), jnp.asarray(v)))
-    np.testing.assert_allclose(gu, wu, rtol=1e-11, atol=1e-13)
-    np.testing.assert_allclose(gv, wv, rtol=1e-11, atol=1e-13)
+    tol = dict(rtol=1e-9, atol=1e-11) if grid_type == GridType.VECTOR_C_GRID \
+        else dict(rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(gu, wu, **tol)
+    np.testing.assert_allclose(gv, wv, **tol)
 
 
 def test_pallas_wet_cell_nan_semantics():
