@@ -154,7 +154,7 @@ def main():
     v = jnp.asarray(rng.random((ny, nx)).astype(np.float32))
     for grid in (gf.GridType.VECTOR_C_GRID, gf.GridType.VECTOR_B_GRID):
         gv = grid_vars_for(grid, ny, nx, rng)
-        paths = [False] if grid == gf.GridType.VECTOR_C_GRID else [True, False]
+        paths = [True, False]
         for pallas in paths:
             filt = gf.Filter(filter_scale=10.0, dx_min=1.0, grid_type=grid,
                              grid_vars=gv, dtype=jnp.float32, use_pallas=pallas)

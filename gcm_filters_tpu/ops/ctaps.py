@@ -15,7 +15,8 @@ precomputable once on the host. The expansion removes the intermediate
 strain fields entirely: one operator application costs one 9-tap contraction
 (reach 1, so trapezoid kernels shrink one cell per step instead of two), at
 the price of a different floating-point evaluation order (agrees with the
-staged form to roundoff; tests pin allclose at 1e-12 in float64).
+staged form to roundoff; tests pin 1e-13 relative in float64,
+tests/test_kernels_properties.py::test_cgrid_tap_expansion_exact).
 
 Offset convention: (dy, dx) means the tap reads input[j+dy, i+dx] with
 periodic wrap. Tap order below is the kernel's coefficient-array order.

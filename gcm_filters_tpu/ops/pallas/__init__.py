@@ -5,7 +5,8 @@ Kernel families:
     the workhorse. Also provides the runtime-coefficient variant used as the
     per-shard local compute of the shard_map engine.
   - cheb_step.py: single-step fused scalar kernel (fallback).
-  - vec_pass.py: coupled B-grid vector pass.
+  - vec_pass.py: coupled vector passes — B-grid (diffusion/mixing pair)
+    and C-grid (tap-expanded 9-point, see ops/ctaps.py).
 
 ``make_pallas_scalar_apply`` / ``make_pallas_vector_apply`` return None when
 the grid/shape combination is not supported by a fused kernel; callers fall

@@ -275,8 +275,8 @@ def make_pallas_vector_apply(operator, spec: FilterSpec):
     C-grid: the operator is first algebraically expanded into an 18-array
     coupled 9-point tap stencil (ops/ctaps.py), turning the two-stage strain/
     divergence form into a single reach-1 contraction the trapezoid kernel
-    can block. Same jit/caching/const-embedding structure as the scalar
-    dispatcher; returns None for unsupported operators.
+    can block. Same jit/caching/const-embedding/fallback structure as the
+    scalar dispatcher; returns None for unsupported operators.
     """
     from ..stencil import BGridVectorStencil, CGridVectorOperator
     from .vec_pass import (
@@ -297,10 +297,14 @@ def make_pallas_vector_apply(operator, spec: FilterSpec):
 
     p_host = np.asarray(spec.p)
     scale = _lap_scale(spec, operator.is_dimensional)
-    if is_ctap:
-        from ..ctaps import cgrid_tap_arrays
+    taps_cache = []  # lazy: ~1.2 GB of f64 at production sizes if computed eagerly
 
-        taps = cgrid_tap_arrays(operator)
+    def _taps():
+        if not taps_cache:
+            from ..ctaps import cgrid_tap_arrays
+
+            taps_cache.append(cgrid_tap_arrays(operator))
+        return taps_cache[0]
 
     def _build_2d(ny, nx, dtype):
         planner = plan_ctap_passes if is_ctap else plan_vec_passes
@@ -312,19 +316,16 @@ def make_pallas_vector_apply(operator, spec: FilterSpec):
         for m, n_ops in enumerate(plan.steps):
             first = m == 0
             last = m == len(plan.steps) - 1
-            if is_ctap:
-                fn = build_ctap_pass(scale, ny, nx, dtype, plan, n_ops,
-                                     first, last, zap=operator.zap_nans)
-            else:
-                fn = build_vec_pass(scale, ny, nx, dtype, plan, n_ops,
-                                    first, last, zap=operator.zap_nans)
+            build = build_ctap_pass if is_ctap else build_vec_pass
+            fn = build(ny, nx, dtype, plan, n_ops, first, last,
+                       zap=operator.zap_nans)
             n_p = n_ops + 1 if first else n_ops
             pass_fns.append((fn, off, n_p, first, last))
             off += n_p
         if is_ctap:
-            ext_host = host_ctap_ext_inputs(taps, plan, dtype, scale)
+            ext_host = host_ctap_ext_inputs(_taps(), plan, dtype, scale)
         else:
-            ext_host = host_vec_ext_inputs(operator, plan, dtype)
+            ext_host = host_vec_ext_inputs(operator, plan, dtype, scale)
         ext_dev = [jnp.asarray(e) for e in ext_host]
         total_bytes = sum(int(e.nbytes) for e in ext_dev)
 
@@ -356,24 +357,39 @@ def make_pallas_vector_apply(operator, spec: FilterSpec):
 
         u = jnp.asarray(u)
         v = jnp.asarray(v)
+
+        def _xla():
+            return vector_filter_apply(operator, spec, u, v)
+
         if (
             not jnp.issubdtype(u.dtype, jnp.floating)
             or u.ndim < 2
             or u.shape != v.shape
             or u.dtype != v.dtype
         ):
-            return vector_filter_apply(operator, spec, u, v)
+            return _xla()
         ny, nx = u.shape[-2:]
+        key = (ny, nx, str(u.dtype))
+        if cache.get(key) == "xla":
+            return _xla()
         built = _get(ny, nx, u.dtype)
         if built is None:
-            return vector_filter_apply(operator, spec, u, v)
+            return _xla()
         fn, exts = built
-        if u.ndim == 2:
-            return fn(u, v, exts)
-        lead = u.shape[:-2]
-        uf = u.reshape((-1,) + u.shape[-2:])
-        vf = v.reshape((-1,) + v.shape[-2:])
-        fu, fv = jax.vmap(fn, in_axes=(0, 0, None))(uf, vf, exts)
-        return fu.reshape(lead + fu.shape[-2:]), fv.reshape(lead + fv.shape[-2:])
+        try:
+            if u.ndim == 2:
+                return fn(u, v, exts)
+            lead = u.shape[:-2]
+            uf = u.reshape((-1,) + u.shape[-2:])
+            vf = v.reshape((-1,) + v.shape[-2:])
+            fu, fv = jax.vmap(fn, in_axes=(0, 0, None))(uf, vf, exts)
+            return (fu.reshape(lead + fu.shape[-2:]),
+                    fv.reshape(lead + fv.shape[-2:]))
+        except jax.errors.JaxRuntimeError:
+            # VMEM planning is a model; pin shapes whose kernels fail to
+            # compile on this chip to the XLA path (same as the scalar
+            # dispatcher).
+            cache[key] = "xla"
+            return _xla()
 
     return apply_fn

@@ -1,21 +1,31 @@
-"""Temporally blocked Pallas pass for the coupled B-grid vector filter.
+"""Temporally blocked Pallas passes for the coupled vector filters.
 
-Same trapezoid schedule as the scalar pass (cheb_pass.py), specialized to the
-POP B-grid friction operator (ops/stencil.BGridVectorStencil, reference
-kernels.py:702-840): two 5-point stencils — a diffusion set applied to each
-component and a mixing set coupling u<->v — advanced S recurrence steps per
-HBM sweep. The (u, v) pair rides as one stacked (2, ny, nx) array so every
-block carries both components and each of the ten coefficient arrays streams
-once per pass from a pre-gathered (nb, br+2H, nx) extended layout.
+Same trapezoid schedule as the scalar pass (cheb_pass.py), for operators on a
+(u, v) pair. The pair rides as one stacked (2, ny, nx) array so every block
+carries both components and each coefficient array streams once per pass from
+a pre-gathered (nb, br+2H, nx) extended layout. One shared pass builder
+(:func:`_build_coupled_pass`) hosts the trapezoid/recurrence scaffolding; the
+two operators supply only their contraction body:
 
-The operator is doubly periodic with no land mask (parity with the
-reference), so the kernel needs no fold or mask handling; NaNs are scrubbed
-per step inside the window, matching the engine's nan_to_num semantics.
+  - B-grid (reference kernels.py:702-840): a diffusion 5-point set applied to
+    each component plus a mixing 5-point set coupling u<->v (10 arrays).
+  - C-grid (reference kernels.py:591-699): the tap-expanded coupled 9-point
+    stencil from ops/ctaps.py (18 arrays) — the two-stage strain/divergence
+    form collapsed into a single reach-1 contraction.
+
+Coefficient convention (same as the scalar pass): all coefficient arrays are
+pre-scaled by ``-2*lap_scale`` by the host_* builders, so the recurrence is
+
+    lap'(t) = sum(X' * t_X),   A t = -t + 0.5*lap'(t),
+    t_next = -2*t + lap'(t) - t_prev.
+
+Both operators are doubly periodic with no land mask (parity with the
+reference); NaNs are scrubbed per step inside the window, matching the
+engine's nan_to_num semantics.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import List, Optional, Tuple
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -23,34 +33,37 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ctaps import CTAPS
 from ..stencil import BGridVectorStencil
 from .cheb_pass import _VMEM_BUDGET, PassPlan, ext_blocks_np
 
-# diffusion set (applied to each component) and mixing set (couples u<->v)
+# B-grid: diffusion set (applied to each component) and mixing set (u<->v).
 _DIFF = ("cc", "dun", "dus", "due", "duw")
 _MIX = ("dmc", "dmn", "dms", "dme", "dmw")
+_CTAP_NAMES = tuple(name for name, *_ in CTAPS)
 
 
-def _vmem_rows_vec(br: int, halo: int) -> int:
-    """VMEM rows (single-field units): 10 double-buffered stacked streams of
-    2*br rows + 10 coefficient ext streams + ~6 stacked window temps."""
-    win = br + 2 * halo
-    return 2 * 10 * (2 * br) + 2 * 10 * win + 12 * win
-
-
-def plan_vec_passes(
-    ny: int, nx: int, n_steps: int, itemsize: int, max_fuse: int = 16
+def _plan_coupled(
+    ny: int, nx: int, n_steps: int, itemsize: int,
+    n_ext: int, temps: int, margin: int, max_fuse: int = 16,
 ) -> Optional[PassPlan]:
-    budget_rows = _VMEM_BUDGET // (nx * itemsize)
+    """Block rows + pass split for a coupled pass with ``n_ext`` coefficient
+    streams and ~``temps`` live stacked/plane window temporaries."""
+    budget_rows = (_VMEM_BUDGET - margin) // (nx * itemsize)
     brs = [b for b in range(8, min(ny, 256) + 1, 8) if ny % b == 0]
     best = None
     for br in brs:
         h = min(max_fuse, n_steps, br)
-        while h >= 1 and _vmem_rows_vec(br, h) > budget_rows:
+
+        def rows(hh):
+            win = br + 2 * hh
+            return 2 * 10 * (2 * br) + 2 * n_ext * win + temps * win
+
+        while h >= 1 and rows(h) > budget_rows:
             h -= 1
         if h < 1:
             continue
-        ext = 10.0 * (1.0 + 2.0 * h / br)
+        ext = n_ext * (1.0 + 2.0 * h / br)
         n_pass = -(-n_steps // h)
         # stacked-field streams per pass: 12 reads + 2 acc + 6 writes
         streams = n_pass * (14 + ext + 6) - 4
@@ -65,19 +78,84 @@ def plan_vec_passes(
     return PassPlan(br=br, halo=max(steps), steps=steps)
 
 
+def plan_vec_passes(ny, nx, n_steps, itemsize, max_fuse=16) -> Optional[PassPlan]:
+    return _plan_coupled(ny, nx, n_steps, itemsize,
+                         n_ext=10, temps=12, margin=0, max_fuse=max_fuse)
+
+
+def plan_ctap_passes(ny, nx, n_steps, itemsize, max_fuse=16) -> Optional[PassPlan]:
+    # 18 live coefficient windows leave less slack than the B-grid kernel; a
+    # 1 MiB margin keeps Mosaic's scoped-vmem stack under the 16 MiB limit
+    # (observed 128 KiB overflow at the model's edge without it).
+    return _plan_coupled(ny, nx, n_steps, itemsize,
+                         n_ext=18, temps=14, margin=1 << 20, max_fuse=max_fuse)
+
+
 def host_vec_ext_inputs(
-    op: BGridVectorStencil, plan: PassPlan, dtype
+    op: BGridVectorStencil, plan: PassPlan, dtype, lap_scale: float
 ) -> List[np.ndarray]:
-    """Extended-block layouts of the ten coefficient arrays (host-side)."""
+    """Extended-block layouts of the ten B-grid coefficient arrays,
+    pre-scaled by -2*lap_scale (the pass kernels' coefficient convention)."""
     npdt = np.dtype(dtype)
+    neg2s = npdt.type(-2.0 * lap_scale)
     return [
-        ext_blocks_np(np.asarray(getattr(op, k), dtype=npdt), plan.br, plan.halo)
+        ext_blocks_np(np.asarray(getattr(op, k), dtype=npdt) * neg2s,
+                      plan.br, plan.halo)
         for k in (*_DIFF, *_MIX)
     ]
 
 
-def build_vec_pass(
-    lap_scale: float,
+def host_ctap_ext_inputs(taps, plan: PassPlan, dtype, lap_scale: float):
+    """Extended-block layouts of the 18 tap arrays (ops/ctaps.py order),
+    pre-scaled by -2*lap_scale."""
+    npdt = np.dtype(dtype)
+    neg2s = npdt.type(-2.0 * lap_scale)
+    return [
+        ext_blocks_np(np.asarray(taps[name], dtype=npdt) * neg2s,
+                      plan.br, plan.halo)
+        for name in _CTAP_NAMES
+    ]
+
+
+def _bgrid_lap(c, g, gN, gS, gE, gW):
+    """Diffusion + mixing 5-point pair (coefficients pre-scaled)."""
+
+    def s5(names):
+        cc, n, s, e, w = (c(k) for k in names)
+        return cc * g + n * gN + s * gS + e * gE + w * gW
+
+    diff = s5(_DIFF)
+    mix = s5(_MIX)
+    # u picks up the v mixing term and vice versa
+    return diff + jnp.stack([mix[1], mix[0]])
+
+
+def _ctap_lap(c, g, gN, gS, gE, gW):
+    """Tap-expanded C-grid contraction (coefficients pre-scaled).
+
+    sh(a, dy, dx)[r, col] = a[r+dy, col+dx]; the two diagonal taps are
+    lane-rolls of already-shifted planes.
+    """
+    uNW = jnp.roll(gN[0], 1, axis=-1)   # u[j+1, i-1]
+    vSE = jnp.roll(gS[1], -1, axis=-1)  # v[j-1, i+1]
+    lap_u = (
+        c("CU_c") * g[0] + c("CU_w") * gW[0] + c("CU_e") * gE[0]
+        + c("CU_s") * gS[0] + c("CU_n") * gN[0]
+        + c("DU_c") * g[1] + c("DU_s") * gS[1] + c("DU_e") * gE[1]
+        + c("DU_se") * vSE
+    )
+    lap_v = (
+        c("CV_c") * g[1] + c("CV_w") * gW[1] + c("CV_e") * gE[1]
+        + c("CV_s") * gS[1] + c("CV_n") * gN[1]
+        + c("DV_c") * g[0] + c("DV_w") * gW[0] + c("DV_n") * gN[0]
+        + c("DV_nw") * uNW
+    )
+    return jnp.stack([lap_u, lap_v])
+
+
+def _build_coupled_pass(
+    coef_names: Sequence[str],
+    lap_body: Callable,
     ny: int,
     nx: int,
     dtype,
@@ -85,7 +163,7 @@ def build_vec_pass(
     n_ops: int,
     first_pass: bool,
     last_pass: bool,
-    zap: bool = True,
+    zap: bool,
 ):
     """One fused pass of ``n_ops`` coupled operator applications.
 
@@ -94,194 +172,8 @@ def build_vec_pass(
       middle     : (p, coef_exts, w1, w2, wacc) -> (w1, w2, wacc)
       last       : (p, coef_exts, w1, w2, wacc) -> wacc
 
-    with w* stacked (2, ny, nx) arrays (u at index 0, v at index 1).
-    """
-    br, halo = plan.br, plan.halo
-    assert n_ops <= halo and halo <= br and ny % br == 0
-    nb = ny // br
-    win = br + 2 * halo
-    npdt = np.dtype(dtype)
-    neg2scale = npdt.type(-2.0 * lap_scale)
-    negscale = npdt.type(-lap_scale)
-    n_fields = 1 if first_pass else 2
-    n_p = n_ops + 1 if first_pass else n_ops
-
-    def kernel(p_ref, *refs):
-        refs = list(refs)
-        f_views = [[refs.pop(0) for _ in range(3)] for _ in range(n_fields)]
-        acc_ref = None if first_pass else refs.pop(0)
-        coef_refs = {k: refs.pop(0) for k in (*_DIFF, *_MIX)}
-        if last_pass:
-            (acc_out,) = refs
-            w1_out = w2_out = None
-        else:
-            w1_out, w2_out, acc_out = refs
-
-        def window(views):
-            own, prev, nxt = views
-            return jnp.concatenate(
-                [prev[:, br - halo :, :], own[...], nxt[:, :halo, :]], axis=1
-            )
-
-        def s5(g, names):
-            gn = jnp.concatenate([g[:, 1:, :], g[:, :1, :]], axis=1)
-            gs = jnp.concatenate([g[:, -1:, :], g[:, :-1, :]], axis=1)
-            ge = jnp.roll(g, -1, axis=-1)
-            gw = jnp.roll(g, 1, axis=-1)
-            c, n, s, e, w = (coef_refs[k][0] for k in names)
-            return c * g + n * gn + s * gs + e * ge + w * gw
-
-        def lap(t):
-            g = jnp.nan_to_num(t) if zap else t
-            diff = s5(g, _DIFF)
-            mix = s5(g, _MIX)
-            # u picks up the v mixing term and vice versa
-            return diff + jnp.stack([mix[1], mix[0]])
-
-        own = slice(halo, halo + br)
-        if first_pass:
-            prev = window(f_views[0])
-            cur = -prev + negscale * lap(prev)
-            acc = p_ref[0, 0] * prev[:, own] + p_ref[0, 1] * cur[:, own]
-            p_off = 2
-        else:
-            cur = window(f_views[0])
-            prev = window(f_views[1])
-            acc = acc_ref[...]
-            p_off = 0
-
-        n_rec = n_ops - 1 if first_pass else n_ops
-        for j in range(n_rec):
-            nxt = -2.0 * cur + neg2scale * lap(cur) - prev
-            acc = acc + p_ref[0, p_off + j] * nxt[:, own]
-            prev, cur = cur, nxt
-
-        if not last_pass:
-            w1_out[...] = cur[:, own]
-            w2_out[...] = prev[:, own]
-        acc_out[...] = acc
-
-    def blk(index_map=lambda i: (0, i, 0)):
-        return pl.BlockSpec((2, br, nx), index_map, memory_space=pltpu.VMEM)
-
-    def views():
-        return [
-            blk(),
-            blk(lambda i: (0, (i - 1) % nb, 0)),
-            blk(lambda i: (0, (i + 1) % nb, 0)),
-        ]
-
-    in_specs = [pl.BlockSpec((1, n_p), lambda i: (0, 0), memory_space=pltpu.SMEM)]
-    for _ in range(n_fields):
-        in_specs += views()
-    if not first_pass:
-        in_specs.append(blk())
-    in_specs += [
-        pl.BlockSpec((1, win, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        for _ in range(10)
-    ]
-
-    n_out = 1 if last_pass else 3
-    grid_call = pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        in_specs=in_specs,
-        out_specs=[blk() for _ in range(n_out)],
-        out_shape=[
-            jax.ShapeDtypeStruct((2, ny, nx), dtype) for _ in range(n_out)
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=44 * n_ops * nb * win * nx,
-            bytes_accessed=(6 * n_fields + 2 * n_out + 2) * ny * nx
-            * npdt.itemsize + 10 * nb * win * nx * npdt.itemsize,
-            transcendentals=0,
-        ),
-        interpret=jax.default_backend() != "tpu",
-    )
-
-    def pass_fn(p_chunk, coef_exts, *fields_and_acc):
-        fields = fields_and_acc[:n_fields]
-        args = [jnp.reshape(p_chunk, (1, n_p)).astype(dtype)]
-        for f in fields:
-            args += [f, f, f]
-        if not first_pass:
-            args.append(fields_and_acc[n_fields])
-        args += list(coef_exts)
-        out = grid_call(*args)
-        return out[0] if last_pass else tuple(out)
-
-    return pass_fn
-
-
-# ---------------------------------------------------------------------------
-# C-grid: tap-expanded coupled 9-point pass (see ops/ctaps.py)
-# ---------------------------------------------------------------------------
-
-
-def _vmem_rows_ctap(br: int, halo: int) -> int:
-    """10 double-buffered stacked field streams + 18 ext streams + temps."""
-    win = br + 2 * halo
-    return 2 * 10 * (2 * br) + 2 * 18 * win + 14 * win
-
-
-def plan_ctap_passes(
-    ny: int, nx: int, n_steps: int, itemsize: int, max_fuse: int = 16
-) -> Optional[PassPlan]:
-    # 18 live coefficient windows leave less slack than the scalar kernel;
-    # a 1 MiB margin keeps Mosaic's scoped-vmem stack under the 16 MiB limit.
-    budget_rows = (_VMEM_BUDGET - (1 << 20)) // (nx * itemsize)
-    brs = [b for b in range(8, min(ny, 256) + 1, 8) if ny % b == 0]
-    best = None
-    for br in brs:
-        h = min(max_fuse, n_steps, br)
-        while h >= 1 and _vmem_rows_ctap(br, h) > budget_rows:
-            h -= 1
-        if h < 1:
-            continue
-        ext = 18.0 * (1.0 + 2.0 * h / br)
-        n_pass = -(-n_steps // h)
-        streams = n_pass * (14 + ext + 6) - 4
-        if best is None or streams < best[0]:
-            best = (streams, br, h)
-    if best is None:
-        return None
-    _, br, h = best
-    n_pass = -(-n_steps // h)
-    base, extra = divmod(n_steps, n_pass)
-    steps = tuple(base + (1 if i < extra else 0) for i in range(n_pass))
-    return PassPlan(br=br, halo=max(steps), steps=steps)
-
-
-def host_ctap_ext_inputs(taps, plan: PassPlan, dtype, lap_scale: float):
-    """Extended-block layouts of the 18 tap arrays, pre-scaled by -2*lap_scale
-    (the pass kernel's coefficient convention). Order follows ctaps.CTAPS."""
-    from ..ctaps import CTAPS
-
-    npdt = np.dtype(dtype)
-    neg2s = npdt.type(-2.0 * lap_scale)
-    return [
-        ext_blocks_np(np.asarray(taps[name], dtype=npdt) * neg2s,
-                      plan.br, plan.halo)
-        for name, *_ in CTAPS
-    ]
-
-
-def build_ctap_pass(
-    lap_scale: float,
-    ny: int,
-    nx: int,
-    dtype,
-    plan: PassPlan,
-    n_ops: int,
-    first_pass: bool,
-    last_pass: bool,
-    zap: bool = True,
-):
-    """One fused pass of the tap-expanded C-grid operator.
-
-    Same structure and signatures as :func:`build_vec_pass`, with the
-    diffusion/mixing 5-point pair replaced by the 18-tap coupled contraction
-    (coefficients pre-scaled by -2*lap_scale; A-step uses the 0.5 factor).
+    with w* stacked (2, ny, nx) arrays (u at index 0, v at index 1) and
+    coef_exts pre-scaled by -2*lap_scale in host_* builder order.
     """
     br, halo = plan.br, plan.halo
     assert n_ops <= halo and halo <= br and ny % br == 0
@@ -293,12 +185,10 @@ def build_ctap_pass(
     n_p = n_ops + 1 if first_pass else n_ops
 
     def kernel(p_ref, *refs):
-        from ..ctaps import CTAPS
-
         refs = list(refs)
         f_views = [[refs.pop(0) for _ in range(3)] for _ in range(n_fields)]
         acc_ref = None if first_pass else refs.pop(0)
-        tap_refs = {name: refs.pop(0) for name, *_ in CTAPS}
+        coef_refs = {k: refs.pop(0) for k in coef_names}
         if last_pass:
             (acc_out,) = refs
             w1_out = w2_out = None
@@ -312,32 +202,15 @@ def build_ctap_pass(
             )
 
         def c(name):
-            return tap_refs[name][0]
+            return coef_refs[name][0]
 
         def lap(t):
             g = jnp.nan_to_num(t) if zap else t
-            # stacked 4-neighborhood shifts serve both components; the two
-            # diagonal taps are lane-rolls of already-shifted planes.
-            # sh(a, dy, dx)[r, c] = a[r+dy, c+dx] (periodic within window)
             gN = jnp.concatenate([g[:, 1:, :], g[:, :1, :]], axis=1)
             gS = jnp.concatenate([g[:, -1:, :], g[:, :-1, :]], axis=1)
             gE = jnp.roll(g, -1, axis=-1)
             gW = jnp.roll(g, 1, axis=-1)
-            uNW = jnp.roll(gN[0], 1, axis=-1)   # u[j+1, i-1]
-            vSE = jnp.roll(gS[1], -1, axis=-1)  # v[j-1, i+1]
-            lap_u = (
-                c("CU_c") * g[0] + c("CU_w") * gW[0] + c("CU_e") * gE[0]
-                + c("CU_s") * gS[0] + c("CU_n") * gN[0]
-                + c("DU_c") * g[1] + c("DU_s") * gS[1] + c("DU_e") * gE[1]
-                + c("DU_se") * vSE
-            )
-            lap_v = (
-                c("CV_c") * g[1] + c("CV_w") * gW[1] + c("CV_e") * gE[1]
-                + c("CV_s") * gS[1] + c("CV_n") * gN[1]
-                + c("DV_c") * g[0] + c("DV_w") * gW[0] + c("DV_n") * gN[0]
-                + c("DV_nw") * uNW
-            )
-            return jnp.stack([lap_u, lap_v])
+            return lap_body(c, g, gN, gS, gE, gW)
 
         own = slice(halo, halo + br)
         if first_pass:
@@ -379,7 +252,7 @@ def build_ctap_pass(
         in_specs.append(blk())
     in_specs += [
         pl.BlockSpec((1, win, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        for _ in range(18)
+        for _ in range(len(coef_names))
     ]
 
     n_out = 1 if last_pass else 3
@@ -392,9 +265,9 @@ def build_ctap_pass(
             jax.ShapeDtypeStruct((2, ny, nx), dtype) for _ in range(n_out)
         ],
         cost_estimate=pl.CostEstimate(
-            flops=40 * n_ops * nb * win * nx,
+            flops=4 * len(coef_names) * n_ops * nb * win * nx,
             bytes_accessed=(6 * n_fields + 2 * n_out + 2) * ny * nx
-            * npdt.itemsize + 18 * nb * win * nx * npdt.itemsize,
+            * npdt.itemsize + len(coef_names) * nb * win * nx * npdt.itemsize,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
@@ -412,3 +285,15 @@ def build_ctap_pass(
         return out[0] if last_pass else tuple(out)
 
     return pass_fn
+
+
+def build_vec_pass(ny, nx, dtype, plan, n_ops, first_pass, last_pass, zap=True):
+    """B-grid coupled pass; coefficients from :func:`host_vec_ext_inputs`."""
+    return _build_coupled_pass((*_DIFF, *_MIX), _bgrid_lap, ny, nx, dtype,
+                               plan, n_ops, first_pass, last_pass, zap)
+
+
+def build_ctap_pass(ny, nx, dtype, plan, n_ops, first_pass, last_pass, zap=True):
+    """C-grid tap pass; coefficients from :func:`host_ctap_ext_inputs`."""
+    return _build_coupled_pass(_CTAP_NAMES, _ctap_lap, ny, nx, dtype,
+                               plan, n_ops, first_pass, last_pass, zap)

@@ -101,8 +101,8 @@ def test_pallas_vector_pass(vector_grid_data):
     """Coupled vector passes vs the XLA engine.
 
     B-grid uses its native diffusion/mixing pair; C-grid goes through the
-    tap expansion (ops/ctaps.py), whose different FP evaluation order means
-    a slightly looser (but still float64-tight) tolerance."""
+    tap expansion (ops/ctaps.py). Both must match the XLA engine to
+    roundoff in float64 (measured ~2e-16 relative)."""
     from gcm_filters_tpu.engine import vector_filter_apply
     from gcm_filters_tpu.ops.pallas import make_pallas_vector_apply
 
@@ -114,10 +114,8 @@ def test_pallas_vector_pass(vector_grid_data):
     gu, gv = (np.asarray(a) for a in fn(jnp.asarray(u), jnp.asarray(v)))
     wu, wv = (np.asarray(a) for a in vector_filter_apply(
         filt.operator, filt.filter_spec, jnp.asarray(u), jnp.asarray(v)))
-    tol = dict(rtol=1e-9, atol=1e-11) if grid_type == GridType.VECTOR_C_GRID \
-        else dict(rtol=1e-11, atol=1e-13)
-    np.testing.assert_allclose(gu, wu, **tol)
-    np.testing.assert_allclose(gv, wv, **tol)
+    np.testing.assert_allclose(gu, wu, rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(gv, wv, rtol=1e-11, atol=1e-13)
 
 
 def test_pallas_wet_cell_nan_semantics():
