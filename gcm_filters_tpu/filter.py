@@ -102,6 +102,12 @@ class Filter:
     spatial_axes: Tuple[Optional[str], Optional[str]] = (None, None)
     batch_axis: Optional[str] = None
     halo_steps: Optional[int] = None  # Chebyshev steps per halo exchange round
+    # A user-built operator (ops.stencil.ScalarStencil5 or a vector operator)
+    # instead of a registry grid type — the reference's "define your own
+    # Laplacian" extension path. The full machinery (fused Pallas passes,
+    # sharding, halo exchange) works for any radius-1 operator expressed in
+    # the framework's stencil representation; grid_type/grid_vars are ignored.
+    custom_operator: Optional[object] = dc_field(default=None, repr=False)
 
     def __post_init__(self):
         # Fixed-factor (area-weighted) filtering happens on the unit-spacing
@@ -148,9 +154,16 @@ class Filter:
             self.n_steps,
         )
 
-        # Build the grid operator (validates grid_vars names and physics).
-        self.operator = build_operator(self.grid_type, self.grid_vars)
-        self._is_vector = is_vector_grid(self.grid_type)
+        # Build the grid operator (validates grid_vars names and physics),
+        # unless the user supplied one directly.
+        if self.custom_operator is not None:
+            from .ops.stencil import ScalarStencil5
+
+            self.operator = self.custom_operator
+            self._is_vector = not isinstance(self.operator, ScalarStencil5)
+        else:
+            self.operator = build_operator(self.grid_type, self.grid_vars)
+            self._is_vector = is_vector_grid(self.grid_type)
 
         # Compiled entry points (built lazily, cached per Filter instance).
         self._jitted_scalar = None

@@ -225,3 +225,35 @@ def test_apply_streamed_matches_apply(scalar_grid_data):
     want = np.asarray(filt.apply(batch))
     got = filt.apply_streamed(batch, chunk=2)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+
+def test_custom_operator_extension_point():
+    """A user-built stencil routes through the same engine, Pallas kernels,
+    and validation-free path (the reference's define-your-own-Laplacian
+    extension, reference docs contributor guide)."""
+    from gcm_filters_tpu.ops.stencil import ScalarStencil5
+
+    ny, nx = 64, 128
+    data = np.random.default_rng(4).random((ny, nx))
+    # a custom anisotropic constant-coefficient Laplacian: 2x zonal diffusion
+    custom = ScalarStencil5(c=-6.0, n=1.0, s=1.0, e=2.0, w=2.0)
+    filt = Filter(filter_scale=4.0, dx_min=1.0, custom_operator=custom)
+    out = np.asarray(filt.apply(data))
+    assert np.isfinite(out).all()
+    assert out.var() < 0.5 * data.var()
+    np.testing.assert_allclose(out.mean(), data.mean(), rtol=1e-12)
+
+    # pallas path must agree with the XLA engine for custom stencils too
+    filt_p = Filter(filter_scale=4.0, dx_min=1.0, custom_operator=custom,
+                    use_pallas=True)
+    np.testing.assert_allclose(np.asarray(filt_p.apply(data)), out,
+                               rtol=1e-11, atol=1e-13)
+
+    # and the sharded machinery
+    import jax
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("y", "x"))
+    filt_s = Filter(filter_scale=4.0, dx_min=1.0, custom_operator=custom,
+                    mesh=mesh, spatial_axes=("y", "x"))
+    np.testing.assert_allclose(np.asarray(filt_s.apply(data)), out,
+                               rtol=1e-10, atol=1e-12)
