@@ -417,16 +417,33 @@ def make_sharded_vector_apply(
     batch_axis: Optional[str] = None,
     halo_steps: Optional[int] = None,
 ):
-    """Compile ``(u, v) -> (filtered_u, filtered_v)`` sharded over ``mesh``."""
+    """Compile ``(u, v) -> (filtered_u, filtered_v)`` sharded over ``mesh``.
+
+    The C-grid operator runs in its tap-expanded form (ops/ctaps.py): reach 1
+    instead of the staged form's 2, so each round's halo — and with it the
+    exchanged volume and the redundant trapezoid compute — is half as wide.
+    """
     del use_pallas
     yax, xax = spatial_axes
     y_axis = (yax, _axis_size(mesh, yax))
     x_axis = (xax, _axis_size(mesh, xax))
     lap_scale = _laplacian_scale(spec, operator.is_dimensional)
-    reach = _REACH[type(operator)]
     p_host = np.asarray(spec.p)
 
-    op_specs = jax.tree_util.tree_map(lambda l: _leaf_spec(l, yax, xax), operator)
+    is_ctap = isinstance(operator, CGridVectorOperator)
+    if is_ctap:
+        from ..ops.ctaps import apply_taps, cgrid_tap_arrays  # noqa: F401
+
+        # the taps ARE the sharded operand (they shard like the field)
+        op_operand = cgrid_tap_arrays(operator)
+        reach = 1
+    else:
+        op_operand = operator
+        reach = _REACH[type(operator)]
+
+    op_specs = jax.tree_util.tree_map(
+        lambda l: _leaf_spec(l, yax, xax), op_operand
+    )
     field_spec = P(batch_axis, yax, xax)
 
     def _local(op, u: Array, v: Array) -> Tuple[Array, Array]:
@@ -439,11 +456,21 @@ def make_sharded_vector_apply(
         ext_op = _extend_vector_operator(op, cells, y_axis, x_axis)
         core = lambda a: a[..., cells:-cells, cells:-cells]
 
+        if is_ctap:
+            def lap_fn(tu, tv):
+                return apply_taps(ext_op, jnp.nan_to_num(tu), jnp.nan_to_num(tv))
+        else:
+            def lap_fn(tu, tv):
+                return ext_op.laplacian(tu, tv, shift=jnp.roll)
+
         def shifted(tu: Array, tv: Array) -> Tuple[Array, Array]:
-            lu, lv = ext_op.laplacian(tu, tv, shift=jnp.roll)
+            lu, lv = lap_fn(tu, tv)
             return -tu - lap_scale * lu, -tv - lap_scale * lv
 
-        u0, v0 = op.prepare(u, v)
+        if is_ctap:
+            u0, v0 = u, v  # C-grid prepare/finalize are identity
+        else:
+            u0, v0 = op.prepare(u, v)
 
         uacc = vacc = None
         ucur = vcur = uprev = vprev = None
@@ -471,7 +498,7 @@ def make_sharded_vector_apply(
                 vprev, vcur = vcur, vnxt
             off += n_ops + 1 if m == 0 else n_ops
 
-        return op.finalize(uacc, vacc)
+        return (uacc, vacc) if is_ctap else op.finalize(uacc, vacc)
 
     sharded = shard_map(
         _local,
@@ -483,7 +510,7 @@ def make_sharded_vector_apply(
 
     jitted = jax.jit(sharded)
     operator_dev = jax.tree_util.tree_map(
-        lambda l: l if isinstance(l, (int, float)) else jnp.asarray(l), operator
+        lambda l: l if isinstance(l, (int, float)) else jnp.asarray(l), op_operand
     )
 
     def apply_fn(u, v):
