@@ -408,6 +408,33 @@ def make_sharded_scalar_apply(
     return apply_fn
 
 
+def _plan_local_coupled(ly, lx, n_steps, n_ext, itemsize, halo_steps):
+    """Round size k, block rows br, padded rows for the local coupled pass."""
+    from ..ops.pallas.cheb_pass import _VMEM_BUDGET
+
+    k_max = min(halo_steps or 16, n_steps, max(1, min(ly, lx) // 2))
+    for k in range(k_max, 0, -1):
+        cols_e = lx + 2 * k
+        budget_rows = (_VMEM_BUDGET - (1 << 20)) // (cols_e * itemsize)
+        br = None
+        cand = 8 * ((k + 7) // 8)
+        while cand <= 256:
+            win = cand + 2 * k
+            if 2 * 10 * (2 * cand) + 2 * n_ext * win + 14 * win > budget_rows:
+                break
+            br = cand
+            cand += 8
+        if br is None:
+            continue
+        rows_e = ly + 2 * k
+        rows_p = -(-rows_e // br) * br
+        n_pass = -(-n_steps // k)
+        base, extra = divmod(n_steps, n_pass)
+        steps = tuple(base + (1 if i < extra else 0) for i in range(n_pass))
+        return k, br, rows_p, steps
+    return None
+
+
 def make_sharded_vector_apply(
     operator,
     spec: FilterSpec,
@@ -423,7 +450,6 @@ def make_sharded_vector_apply(
     instead of the staged form's 2, so each round's halo — and with it the
     exchanged volume and the redundant trapezoid compute — is half as wide.
     """
-    del use_pallas
     yax, xax = spatial_axes
     y_axis = (yax, _axis_size(mesh, yax))
     x_axis = (xax, _axis_size(mesh, xax))
@@ -446,7 +472,113 @@ def make_sharded_vector_apply(
     )
     field_spec = P(batch_axis, yax, xax)
 
+    # Coefficient metadata for the per-shard Pallas pass (runtime coef exts).
+    if is_ctap:
+        from ..ops.ctaps import CTAPS as _CT
+
+        _coef_keys = tuple(name for name, *_ in _CT)
+    elif isinstance(operator, BGridVectorStencil):
+        from ..ops.pallas.vec_pass import _DIFF, _MIX
+
+        _coef_keys = (*_DIFF, *_MIX)
+    else:
+        _coef_keys = None
+
+    def _pallas_on(dtype) -> bool:
+        if _coef_keys is None or not jnp.issubdtype(dtype, jnp.floating):
+            return False
+        if use_pallas is not None:
+            return use_pallas
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+
+    def _local_pallas_2d(op, u: Array, v: Array):
+        """Rounds with the coupled trapezoid pass as local compute (vector
+        analogue of the scalar path: exchange k-cell halos, pad, run the
+        periodic pass kernel over the extended local block, slice the core).
+        Both operator forms are reach-1 in kernel form."""
+        from ..ops.pallas.vec_pass import build_ctap_pass, build_vec_pass
+        from ..ops.pallas.cheb_pass import PassPlan, ext_blocks_jnp
+
+        dtype = u.dtype
+        ly, lx = u.shape[-2:]
+        planned = _plan_local_coupled(
+            ly, lx, spec.n_steps, len(_coef_keys),
+            np.dtype(dtype).itemsize, halo_steps,
+        )
+        cells, br, rows_p, rounds = planned
+        cols_e = lx + 2 * cells
+        pad_rows = rows_p - (ly + 2 * cells)
+        plan = PassPlan(br=br, halo=cells, steps=rounds)
+
+        def pad(a):
+            cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
+            return jnp.pad(a, cfgpad) if pad_rows else a
+
+        ext_op = _extend_vector_operator(op, cells, y_axis, x_axis)
+        neg2s = np.dtype(dtype).type(-2.0 * lap_scale)
+        if is_ctap:
+            coef_src = {k: ext_op[k] for k in _coef_keys}
+        else:
+            coef_src = {k: getattr(ext_op, k) for k in _coef_keys}
+        coef_exts = [
+            ext_blocks_jnp(pad(coef_src[k]).astype(dtype) * neg2s, br, cells)
+            for k in _coef_keys
+        ]
+
+        p = jnp.asarray(p_host, dtype=dtype)
+        core = lambda a: a[..., cells : cells + ly, cells : cells + lx]
+        build = build_ctap_pass if is_ctap else build_vec_pass
+
+        state = None
+        acc = None
+        off = 0
+        for m, n_ops in enumerate(rounds):
+            first = m == 0
+            last = m == len(rounds) - 1
+            pass_fn = build(rows_p, cols_e, dtype, plan, n_ops, first, last,
+                            zap=operator.zap_nans)
+            if first:
+                w0 = jnp.stack([u, v]) if is_ctap \
+                    else jnp.stack(op_prepare(op, u, v))
+                ext = pad(halo.exchange_2d(w0, cells, y_axis, x_axis))
+                fields = (ext,)
+            else:
+                w1, w2 = state
+                stacked = jnp.concatenate([w1, w2])  # (4, ly, lx)
+                ext = halo.exchange_2d(stacked, cells, y_axis, x_axis)
+                fields = (pad(ext[:2]), pad(ext[2:]), acc)
+            n_p = n_ops + 1 if first else n_ops
+            out = pass_fn(p[off : off + n_p], coef_exts, *fields)
+            off += n_p
+            if last:
+                acc = out
+            else:
+                state = (core(out[0]), core(out[1]))
+                acc = out[2]
+
+        res = core(acc)
+        return res[0], res[1]
+
+    def op_prepare(op, u, v):
+        return op.prepare(u, v)
+
     def _local(op, u: Array, v: Array) -> Tuple[Array, Array]:
+        if _pallas_on(u.dtype):
+            planned = _plan_local_coupled(
+                u.shape[-2], u.shape[-1], spec.n_steps, len(_coef_keys),
+                np.dtype(u.dtype).itemsize, halo_steps,
+            )
+            if planned is not None:
+                fn = lambda uu, vv: _local_pallas_2d(op, uu, vv)
+                if u.ndim == 3:
+                    return jax.vmap(fn)(u, v)
+                return fn(u, v)
+        return _local_xla(op, u, v)
+
+    def _local_xla(op, u: Array, v: Array) -> Tuple[Array, Array]:
         dtype = u.dtype
         ly, lx = u.shape[-2:]
         p = jnp.asarray(p_host, dtype=dtype)

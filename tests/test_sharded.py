@@ -140,3 +140,19 @@ def test_sharded_pallas_local_compute(tripolar_grid_data):
         np.asarray(filt.apply(batch)), np.asarray(base.apply(batch)),
         rtol=1e-11, atol=1e-13,
     )
+
+
+def test_sharded_vector_pallas_local_compute(vector_grid_data):
+    """Coupled Pallas passes as the per-shard local compute for both vector
+    operators (interpret mode) must match unsharded XLA to roundoff."""
+    grid_type, (u, v), grid_vars = vector_grid_data
+    base = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False)
+    eu, ev = (np.asarray(a) for a in base.apply_to_vector(u, v))
+    mesh = _mesh(2, 4)
+    filt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=True,
+                  mesh=mesh, spatial_axes=("y", "x"))
+    gu, gv = (np.asarray(a) for a in filt.apply_to_vector(u, v))
+    np.testing.assert_allclose(gu, eu, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(gv, ev, rtol=1e-9, atol=1e-11)
