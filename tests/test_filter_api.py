@@ -67,9 +67,11 @@ def test_diffusion_filter(scalar_grid_data):
         filter_scale=3.0, dx_min=1.0, filter_shape=FilterShape.GAUSSIAN,
         grid_type=grid_type, grid_vars=grid_vars, use_pallas=False,
     )
-    import matplotlib
+    matplotlib = pytest.importorskip("matplotlib")  # optional 'plot' extra
     matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
     filt.plot_shape()
+    plt.close("all")
     filtered = np.asarray(filt.apply(data))
 
     area = 1
@@ -110,6 +112,13 @@ def test_viscosity_filter(vector_grid_data):
     fu, fv = (np.asarray(a) for a in filt.apply_to_vector(sbr_u, sbr_v))
     np.testing.assert_allclose(fu, sbr_u, atol=1e-10)
     np.testing.assert_allclose(fv, sbr_v, atol=1e-10)
+
+    # leaving out any required grid var raises (reference test_filter.py:284-290)
+    for name in list(grid_vars):
+        missing = {k: v for k, v in grid_vars.items() if k != name}
+        with pytest.raises(ValueError, match=r"Provided `grid_vars` .*"):
+            Filter(filter_scale=3.0, dx_min=1.0, grid_type=grid_type,
+                   grid_vars=missing)
 
 
 def test_transition_width_validation():
@@ -221,7 +230,7 @@ def test_apply_streamed_matches_apply(scalar_grid_data):
     grid_type, data, grid_vars = scalar_grid_data
     filt = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
                   grid_vars=grid_vars, use_pallas=False)
-    batch = np.stack([data + k for k in range(5)]).reshape(5, *data.shape)
+    batch = np.stack([data + k for k in range(5)])
     want = np.asarray(filt.apply(batch))
     got = filt.apply_streamed(batch, chunk=2)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)

@@ -32,11 +32,16 @@ OVERWRITE = os.environ.get("GCM_FILTERS_TPU_OVERWRITE_TEST_DATA", "") == "1"
 
 def _check_or_write(name: str, arrays: dict):
     path = DATA_DIR / f"{name}.npz"
-    if OVERWRITE or not path.exists():
+    if OVERWRITE:
         DATA_DIR.mkdir(exist_ok=True)
         np.savez_compressed(path, **{k: np.float32(v) for k, v in arrays.items()})
-        if OVERWRITE:
-            pytest.skip(f"regenerated {path.name}")
+        pytest.skip(f"regenerated {path.name}")
+    if not path.exists():
+        pytest.fail(
+            f"golden snapshot {path.name} is missing -- regenerate explicitly "
+            "with GCM_FILTERS_TPU_OVERWRITE_TEST_DATA=1 (a missing snapshot "
+            "must never be silently created and compared against itself)"
+        )
     saved = np.load(path)
     for k, v in arrays.items():
         np.testing.assert_allclose(

@@ -168,9 +168,21 @@ def test_zero_area(vector_grid_data):
     grid_type, (data_u, data_v), grid_vars = vector_grid_data
     op = build_operator(grid_type, grid_vars)
     res_u, res_v = (np.asarray(a) for a in op.laplacian(data_u, data_v))
-    assert not np.any(np.isinf(res_u))
-    assert not np.any(np.isnan(res_u))
-    assert not np.any(np.isnan(res_v))
+    for res in (res_u, res_v):
+        assert not np.any(np.isinf(res))
+        assert not np.any(np.isnan(res))
+
+    # C-grid guards division by zero cell areas explicitly
+    # (reference kernels.py:643-645); feed actual zeros to exercise it.
+    if grid_type == GridType.VECTOR_C_GRID:
+        gv = {k: np.array(v, dtype=float) for k, v in grid_vars.items()}
+        gv["area_u"][10:12, 20:22] = 0.0
+        gv["area_v"][30:32, 40:42] = 0.0
+        op0 = build_operator(grid_type, gv)
+        res_u, res_v = (np.asarray(a) for a in op0.laplacian(data_u, data_v))
+        for res in (res_u, res_v):
+            assert not np.any(np.isinf(res))
+            assert not np.any(np.isnan(res))
 
 
 def test_required_vector_grid_vars(vector_grid_data):

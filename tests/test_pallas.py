@@ -29,7 +29,7 @@ def test_pallas_step_matches_xla(scalar_grid_data_with_mom5, dtype):
     np.testing.assert_allclose(got, want, **tol)
 
 
-def test_pallas_falls_back_on_batched_input(scalar_grid_data):
+def test_pallas_batched_input_matches_xla(scalar_grid_data):
     grid_type, data, grid_vars = scalar_grid_data
     filt = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
                   grid_vars=grid_vars, use_pallas=False)
@@ -165,3 +165,28 @@ def test_pallas_fallback_odd_shapes():
         scalar_filter_apply(filt.operator, filt.filter_spec, jnp.asarray(data))
     )
     np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-13)
+
+
+def test_pallas_kernel_actually_executes(scalar_grid_data, monkeypatch):
+    """Guard against vacuous parity: the multi-step pass must really build and
+    run for every fixture grid (a silent fall-back to XLA would make every
+    kernel-vs-XLA comparison in this file compare XLA against itself)."""
+    import gcm_filters_tpu.ops.pallas.dispatch as disp
+    import gcm_filters_tpu.ops.pallas.cheb_pass as cp
+
+    grid_type, data, grid_vars = scalar_grid_data
+    filt = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False)
+    calls = []
+    real = cp.build_cheb_pass
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(disp, "build_cheb_pass", spy)
+    fn = make_pallas_scalar_apply(filt.operator, filt.filter_spec)
+    assert fn is not None
+    out = np.asarray(fn(jnp.asarray(data)))
+    assert calls, "multi-step Pallas pass was never built -- parity tests are vacuous"
+    assert np.isfinite(out[1:]).any()

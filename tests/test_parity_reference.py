@@ -93,7 +93,6 @@ def test_full_filter_matches_reference(scalar_grid_data, reference, filter_shape
     ref_fn = _ref_filter_func(
         reference, grid_type, filt.n_steps, 8.0, filter_shape
     )
-    grid_args = [np.copy(grid_vars[k]) for k in grid_vars]
     # reference filter_func takes grid vars positionally in annotation order
     from gcm_filters_tpu.models.grids import GRID_VAR_NAMES
 

@@ -156,3 +156,20 @@ def test_sharded_vector_pallas_local_compute(vector_grid_data):
     gu, gv = (np.asarray(a) for a in filt.apply_to_vector(u, v))
     np.testing.assert_allclose(gu, eu, rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(gv, ev, rtol=1e-9, atol=1e-11)
+
+
+def test_sharded_batch_axis_mesh(tripolar_grid_data):
+    """A third mesh axis sharding the leading batch dim (the dask analogue)
+    composes with the 2-D spatial decomposition."""
+    grid_type, data, grid_vars = tripolar_grid_data
+    batch = np.stack([data, 2 * data + 1, -data, 0.5 * data])
+    base = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False)
+    mesh = _mesh(2, 2, batch=2)
+    filt = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False,
+                  mesh=mesh, spatial_axes=("y", "x"), batch_axis="b")
+    np.testing.assert_allclose(
+        np.asarray(filt.apply(batch)), np.asarray(base.apply(batch)),
+        rtol=1e-10, atol=1e-12,
+    )
