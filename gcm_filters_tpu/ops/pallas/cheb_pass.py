@@ -148,7 +148,10 @@ def plan_passes(
     n_pass = -(-n_steps // h)
     base, extra = divmod(n_steps, n_pass)
     steps = tuple(base + (1 if i < extra else 0) for i in range(n_pass))
-    return PassPlan(br=br, halo=max(steps), steps=steps)
+    # Round the halo allocation up so the window height br+2*halo stays a
+    # multiple of 8 (sublane tile): unaligned windows measured ~1.5x slower.
+    halo = min(br, -(-max(steps) // 4) * 4)
+    return PassPlan(br=br, halo=halo, steps=steps)
 
 
 def ext_blocks_np(

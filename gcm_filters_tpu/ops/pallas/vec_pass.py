@@ -75,7 +75,10 @@ def _plan_coupled(
     n_pass = -(-n_steps // h)
     base, extra = divmod(n_steps, n_pass)
     steps = tuple(base + (1 if i < extra else 0) for i in range(n_pass))
-    return PassPlan(br=br, halo=max(steps), steps=steps)
+    # Keep the window height br+2*halo a multiple of 8 (sublane tile):
+    # unaligned windows measured ~1.5x slower on v5e.
+    halo = min(br, -(-max(steps) // 4) * 4)
+    return PassPlan(br=br, halo=halo, steps=steps)
 
 
 def plan_vec_passes(ny, nx, n_steps, itemsize, max_fuse=16) -> Optional[PassPlan]:
