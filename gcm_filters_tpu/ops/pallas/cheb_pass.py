@@ -261,7 +261,9 @@ def _build_pass_call(cfg: _PassConfig):
     has_post, zap, fold = cfg.has_post, cfg.zap, cfg.fold
 
     fuse = cfg.fuse_ends
-    need_field_own = fuse and cfg.last_pass and not cfg.first_pass
+    # fbar is only needed at own rows for the land reconstruction; area-only
+    # grids finalize from acc alone, so don't stream the raw field for them.
+    need_field_own = fuse and cfg.last_pass and not cfg.first_pass and cfg.drop_pre
 
     def kernel(p_ref, *refs):
         refs = list(refs)
@@ -344,12 +346,12 @@ def _build_pass_call(cfg: _PassConfig):
 
         if fuse:
             # land reconstruction + finalize (/area), in-window
-            if cfg.drop_pre or cfg.has_area:
+            if cfg.drop_pre:
                 if cfg.first_pass:
                     fbar_own = fbar_w[own]
                 elif cfg.has_area:
                     fbar_own = field_own_ref[...] * area[own]
-                elif cfg.drop_pre:
+                else:
                     fbar_own = field_own_ref[...]
             if cfg.drop_pre:
                 # 0*fbar poisons wet-cell NaNs back into the result (the
@@ -482,7 +484,7 @@ def build_cheb_pass(
             args += [f, f, f]
         if not first_pass:
             args.append(fields_and_acc[cfg.n_fields])  # acc
-            if last_pass:
+            if last_pass and drop_pre:
                 args.append(fields_and_acc[cfg.n_fields + 1])  # raw field
         if fold:
             args += [_mirror_chunk(f, halo, cfg.rows_m) for f in fields]

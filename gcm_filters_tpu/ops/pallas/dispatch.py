@@ -48,14 +48,9 @@ from .cheb_step import build_cheb_step
 
 
 def _lap_scale(spec: FilterSpec, is_dimensional: bool) -> float:
-    if is_dimensional:
-        return 2.0 / spec.s_max
-    return 2.0 / (spec.s_max * spec.dx_min_sq)
+    from ...engine import _laplacian_scale
 
-
-def _binary01(arr) -> bool:
-    a = np.asarray(arr)
-    return bool(np.all((a == 0) | (a == 1)))
+    return _laplacian_scale(spec, is_dimensional)
 
 
 # Data fields of ScalarStencil5 that can hold large arrays.
@@ -125,14 +120,9 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
 
     p_host = np.asarray(spec.p)
 
-    # h-space eligibility: same 0/1 array as pre and post mask.
-    drop_pre = (
-        stencil.pre is not None
-        and stencil.post is not None
-        and stencil.pre is stencil.post
-        and _binary01(stencil.pre)
-        and stencil.zap_nans
-    )
+    from ..stencil import hspace_drop_pre
+
+    drop_pre = hspace_drop_pre(stencil)
     if stencil.pre is not None and not drop_pre:
         return None  # unsupported masking pattern: XLA path handles it
     land_gain = float(np.polynomial.chebyshev.chebval(-1.0, p_host))
@@ -236,11 +226,20 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
             cache[key] = _build_2d(ny, nx, dtype)
         return cache[key]
 
+    _fb_cache = {}
+
     def _xla_fallback(field):
-        skel_fn = jax.jit(
-            lambda f, a: scalar_filter_apply(_merge_stencil(skeleton, a), spec, f)
-        )
-        return skel_fn(field, _cast_arrays(arrays_host, field.dtype))
+        # built once per dtype: a fresh jit wrapper per call would retrace
+        # and recompile the whole scan on every filter application
+        key = str(field.dtype)
+        if key not in _fb_cache:
+            _fb_cache[key] = (
+                jax.jit(lambda f, a: scalar_filter_apply(
+                    _merge_stencil(skeleton, a), spec, f)),
+                _cast_arrays(arrays_host, field.dtype),
+            )
+        fn, arrays = _fb_cache[key]
+        return fn(field, arrays)
 
     def apply_fn(field):
         field = jnp.asarray(field)
@@ -352,14 +351,25 @@ def make_pallas_vector_apply(operator, spec: FilterSpec):
             cache[key] = _build_2d(ny, nx, dtype)
         return cache[key]
 
+    _fb_cache = {}
+
     def apply_fn(u, v):
-        from ...engine import vector_filter_apply
+        from ...engine import vector_filter_apply, _cast_operator
 
         u = jnp.asarray(u)
         v = jnp.asarray(v)
 
         def _xla():
-            return vector_filter_apply(operator, spec, u, v)
+            # built once per dtype, operator pre-cast eagerly (see engine)
+            key = str(u.dtype)
+            if key not in _fb_cache:
+                _fb_cache[key] = (
+                    jax.jit(lambda op, uu, vv: vector_filter_apply(
+                        op, spec, uu, vv)),
+                    _cast_operator(operator, u.dtype),
+                )
+            fn, op_dev = _fb_cache[key]
+            return fn(op_dev, u, v)
 
         if (
             not jnp.issubdtype(u.dtype, jnp.floating)

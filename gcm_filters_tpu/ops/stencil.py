@@ -45,6 +45,20 @@ def _static(default) -> dataclasses.Field:
     return field(default=default, metadata=dict(static=True))
 
 
+def hspace_drop_pre(stencil) -> bool:
+    """True when the mask pattern admits the exact h-space elimination used
+    by the fused kernels and the sharded engine: the same 0/1 wet mask as
+    both pre- and post-multiplier, with NaN scrubbing (see
+    ops/pallas/dispatch.py for the algebra)."""
+    import numpy as np
+
+    pre, post = stencil.pre, stencil.post
+    if pre is None or post is None or pre is not post or not stencil.zap_nans:
+        return False
+    a = np.asarray(pre)
+    return bool(np.all((a == 0) | (a == 1)))
+
+
 def north_neighbor(g: Array, fold_north: bool) -> Array:
     """Value of the cell to the north (j+1), with wraparound or tripolar fold.
 

@@ -39,7 +39,7 @@ try:  # jax >= 0.8
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..engine import _laplacian_scale
+from ..engine import _laplacian_scale, _operator_dtype_cache
 from ..filter_spec import FilterSpec
 from ..ops.stencil import BGridVectorStencil, CGridVectorOperator, ScalarStencil5
 from . import halo
@@ -150,32 +150,41 @@ def _extend_vector_operator(op, cells: int, y_axis, x_axis):
     return jax.tree_util.tree_map(ext, op)
 
 
-def _plan_local_pallas(ly, lx, n_steps, n_coef, has_post, itemsize, halo_steps):
-    """Round size k, block rows br, and padded row count for the local pass.
+def _balanced(n_steps, k):
+    n_pass = -(-n_steps // k)
+    base, extra = divmod(n_steps, n_pass)
+    return tuple(base + (1 if i < extra else 0) for i in range(n_pass))
 
-    The per-shard domain is the halo-extended local block (ly+2k, lx+2k),
-    row-padded to a multiple of br; the pass kernel's own block trapezoid
-    needs k <= br and the usual VMEM budget (cheb_pass._vmem_rows).
+
+def _plan_local_pallas(ly, lx, n_steps, n_coef, has_post, itemsize, halo_steps):
+    """(cells, halo, br, rows_p, steps) for the per-shard scalar pass.
+
+    ``cells`` = max steps per round = the device-halo width actually
+    exchanged; ``halo`` = the kernel's block-trapezoid halo, rounded up so
+    windows stay sublane-aligned (kernel halo may exceed cells — block
+    windows just overlap further into the local domain, which is safe).
+    ``br`` is capped near the extended row count so padding stays bounded.
     """
     from ..ops.pallas.cheb_pass import _vmem_rows, _VMEM_BUDGET
 
     k_max = min(halo_steps or 16, n_steps, max(1, min(ly, lx) // 2))
     for k in range(k_max, 0, -1):
-        cols_e = lx + 2 * k
+        steps = _balanced(n_steps, k)
+        cells = max(steps)
+        halo = -(-cells // 4) * 4  # sublane-aligned window height
+        cols_e = lx + 2 * cells
+        rows_e = ly + 2 * cells
         budget_rows = _VMEM_BUDGET // (cols_e * itemsize)
         br = None
-        cand = 8 * ((k + 7) // 8)  # smallest multiple of 8 >= k
-        while cand <= 512 and _vmem_rows(cand, k, n_coef, has_post) <= budget_rows:
+        cand = max(8, 8 * ((halo + 7) // 8))  # kernel needs halo <= br
+        cap = min(512, 8 * ((rows_e + 7) // 8))
+        while cand <= cap and _vmem_rows(cand, halo, n_coef, has_post) <= budget_rows:
             br = cand
             cand += 8
         if br is None:
             continue
-        rows_e = ly + 2 * k
         rows_p = -(-rows_e // br) * br
-        n_pass = -(-n_steps // k)
-        base, extra = divmod(n_steps, n_pass)
-        steps = tuple(base + (1 if i < extra else 0) for i in range(n_pass))
-        return k, br, rows_p, steps
+        return cells, min(br, halo), br, rows_p, steps
     return None
 
 
@@ -215,17 +224,9 @@ def make_sharded_scalar_apply(
         if k not in host_coef_names
     }
 
-    def _binary01(arr):
-        a = np.asarray(arr)
-        return bool(np.all((a == 0) | (a == 1)))
+    from ..ops.stencil import hspace_drop_pre
 
-    drop_pre = (
-        stencil.pre is not None
-        and stencil.post is not None
-        and stencil.pre is stencil.post
-        and _binary01(stencil.pre)
-        and stencil.zap_nans
-    )
+    drop_pre = hspace_drop_pre(stencil)
     pallas_eligible = stencil.pre is None or drop_pre
     land_gain = float(np.polynomial.chebyshev.chebval(-1.0, p_host))
 
@@ -302,7 +303,7 @@ def make_sharded_scalar_apply(
         )
         if planned is None:
             return None
-        cells, br, rows_p, rounds = planned
+        cells, khalo, br, rows_p, rounds = planned
         cols_e = lx + 2 * cells
         pad_rows = rows_p - (ly + 2 * cells)
 
@@ -322,13 +323,13 @@ def make_sharded_scalar_apply(
         neg2s = np.dtype(dtype).type(-2.0 * lap_scale)
         coef_exts = [
             ext_blocks_jnp(
-                pad(getattr(ext_st, k)).astype(dtype) * neg2s, br, cells
+                pad(getattr(ext_st, k)).astype(dtype) * neg2s, br, khalo
             )
             for k in host_coef_names
         ]
         if has_post:
             coef_exts.append(
-                ext_blocks_jnp(pad(ext_st.post).astype(dtype), br, cells)
+                ext_blocks_jnp(pad(ext_st.post).astype(dtype), br, khalo)
             )
 
         fold = st.fold_north
@@ -344,7 +345,7 @@ def make_sharded_scalar_apply(
             first = m == 0
             last = m == len(rounds) - 1
             pass_fn = build_local_pass(
-                rows_p, cols_e, dtype, br, cells, n_ops,
+                rows_p, cols_e, dtype, br, khalo, n_ops,
                 host_coef_names, host_consts, has_post,
                 zap=(False if drop_pre else stencil.zap_nans),
                 lap_scale=lap_scale, first_pass=first, last_pass=last,
@@ -394,44 +395,67 @@ def make_sharded_scalar_apply(
     )
 
     # The stencil enters as a jit argument (constants would be serialized
-    # into the compile payload), converted to device arrays ONCE — passing
-    # host numpy would re-transfer every coefficient on every call.
+    # into the compile payload), converted to device arrays ONCE PER COMPUTE
+    # DTYPE — passing host numpy would re-transfer every coefficient on every
+    # call, and leaving f64 coefficients against f32 fields would promote the
+    # whole pipeline (and crash the Pallas kernels' f32 out_shapes).
     jitted = jax.jit(sharded)
-    stencil_dev = jax.tree_util.tree_map(
-        lambda l: l if isinstance(l, (int, float)) else jnp.asarray(l), stencil
-    )
+    op_for = _operator_dtype_cache(stencil)
 
     def apply_fn(field):
         arr, restore = _normalize(field)
-        return restore(jitted(stencil_dev, arr))
+        st = op_for(arr.dtype)
+        try:
+            return restore(jitted(st, arr))
+        except jax.errors.JaxRuntimeError:
+            # VMEM planning is a model, not ground truth: if the local Pallas
+            # kernel fails to compile on this chip, fall back to XLA rounds.
+            nonlocal_fallback = _fallback_jitted()
+            return restore(nonlocal_fallback(st, arr))
+
+    _fb = []
+
+    def _fallback_jitted():
+        if not _fb:
+            fb = shard_map(
+                lambda st, f: _local_xla(st, f),
+                mesh=mesh,
+                in_specs=(op_specs, field_spec),
+                out_specs=field_spec,
+                check_vma=False,
+            )
+            _fb.append(jax.jit(fb))
+        return _fb[0]
 
     return apply_fn
 
 
 def _plan_local_coupled(ly, lx, n_steps, n_ext, itemsize, halo_steps):
-    """Round size k, block rows br, padded rows for the local coupled pass."""
+    """(cells, halo, br, rows_p, steps) for the per-shard coupled pass
+    (same conventions as :func:`_plan_local_pallas`)."""
     from ..ops.pallas.cheb_pass import _VMEM_BUDGET
 
     k_max = min(halo_steps or 16, n_steps, max(1, min(ly, lx) // 2))
     for k in range(k_max, 0, -1):
-        cols_e = lx + 2 * k
+        steps = _balanced(n_steps, k)
+        cells = max(steps)
+        halo = -(-cells // 4) * 4
+        cols_e = lx + 2 * cells
+        rows_e = ly + 2 * cells
         budget_rows = (_VMEM_BUDGET - (1 << 20)) // (cols_e * itemsize)
         br = None
-        cand = 8 * ((k + 7) // 8)
-        while cand <= 256:
-            win = cand + 2 * k
+        cand = max(8, 8 * ((halo + 7) // 8))
+        cap = min(256, 8 * ((rows_e + 7) // 8))
+        while cand <= cap:
+            win = cand + 2 * halo
             if 2 * 10 * (2 * cand) + 2 * n_ext * win + 14 * win > budget_rows:
                 break
             br = cand
             cand += 8
         if br is None:
             continue
-        rows_e = ly + 2 * k
         rows_p = -(-rows_e // br) * br
-        n_pass = -(-n_steps // k)
-        base, extra = divmod(n_steps, n_pass)
-        steps = tuple(base + (1 if i < extra else 0) for i in range(n_pass))
-        return k, br, rows_p, steps
+        return cells, min(br, halo), br, rows_p, steps
     return None
 
 
@@ -508,10 +532,10 @@ def make_sharded_vector_apply(
             ly, lx, spec.n_steps, len(_coef_keys),
             np.dtype(dtype).itemsize, halo_steps,
         )
-        cells, br, rows_p, rounds = planned
+        cells, khalo, br, rows_p, rounds = planned
         cols_e = lx + 2 * cells
         pad_rows = rows_p - (ly + 2 * cells)
-        plan = PassPlan(br=br, halo=cells, steps=rounds)
+        plan = PassPlan(br=br, halo=khalo, steps=rounds)
 
         def pad(a):
             cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
@@ -524,7 +548,7 @@ def make_sharded_vector_apply(
         else:
             coef_src = {k: getattr(ext_op, k) for k in _coef_keys}
         coef_exts = [
-            ext_blocks_jnp(pad(coef_src[k]).astype(dtype) * neg2s, br, cells)
+            ext_blocks_jnp(pad(coef_src[k]).astype(dtype) * neg2s, br, khalo)
             for k in _coef_keys
         ]
 
@@ -641,14 +665,30 @@ def make_sharded_vector_apply(
     )
 
     jitted = jax.jit(sharded)
-    operator_dev = jax.tree_util.tree_map(
-        lambda l: l if isinstance(l, (int, float)) else jnp.asarray(l), op_operand
-    )
+    op_for = _operator_dtype_cache(op_operand)
+
+    _fb = []
+
+    def _fallback_jitted():
+        if not _fb:
+            fb = shard_map(
+                lambda op, u, v: _local_xla(op, u, v),
+                mesh=mesh,
+                in_specs=(op_specs, field_spec, field_spec),
+                out_specs=(field_spec, field_spec),
+                check_vma=False,
+            )
+            _fb.append(jax.jit(fb))
+        return _fb[0]
 
     def apply_fn(u, v):
         u3, restore = _normalize(u)
         v3, _ = _normalize(v)
-        fu, fv = jitted(operator_dev, u3, v3)
+        op = op_for(u3.dtype)
+        try:
+            fu, fv = jitted(op, u3, v3)
+        except jax.errors.JaxRuntimeError:
+            fu, fv = _fallback_jitted()(op, u3, v3)
         return restore(fu), restore(fv)
 
     return apply_fn

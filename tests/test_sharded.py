@@ -121,16 +121,18 @@ def test_sharded_halo_round_sizes(tripolar_grid_data, halo_steps):
     )
 
 
-def test_sharded_pallas_local_compute(tripolar_grid_data):
+@pytest.mark.parametrize("halo_steps", [None, 2, 5])
+def test_sharded_pallas_local_compute(tripolar_grid_data, halo_steps):
     """Pallas trapezoid kernel as the per-shard local compute (interpret mode)
-    must match the unsharded XLA engine exactly, fold seam included."""
+    must match the unsharded XLA engine exactly, fold seam included, for any
+    steps-per-exchange round size."""
     grid_type, data, grid_vars = tripolar_grid_data
     base = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
                   grid_vars=grid_vars, use_pallas=False)
     mesh = _mesh(2, 4)
     filt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
                   grid_vars=grid_vars, use_pallas=True,
-                  mesh=mesh, spatial_axes=("y", "x"))
+                  mesh=mesh, spatial_axes=("y", "x"), halo_steps=halo_steps)
     np.testing.assert_allclose(
         np.asarray(filt.apply(data)), np.asarray(base.apply(data)),
         rtol=1e-11, atol=1e-13,
@@ -173,3 +175,23 @@ def test_sharded_batch_axis_mesh(tripolar_grid_data):
         np.asarray(filt.apply(batch)), np.asarray(base.apply(batch)),
         rtol=1e-10, atol=1e-12,
     )
+
+
+def test_sharded_mixed_dtype_matches_unsharded(scalar_grid_data):
+    """float32 fields against float64 grid vars must stay float32 and match
+    the unsharded result on both local-compute paths (the operator is cast
+    per compute dtype, like the single-device engine)."""
+    grid_type, data, grid_vars = scalar_grid_data
+    data32 = np.asarray(data, dtype=np.float32)
+    base = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, use_pallas=False)
+    want = np.asarray(base.apply(data32))
+    assert want.dtype == np.float32
+    mesh = _mesh(2, 4)
+    for up in (False, True):
+        filt = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                      grid_vars=grid_vars, use_pallas=up,
+                      mesh=mesh, spatial_axes=("y", "x"))
+        got = np.asarray(filt.apply(data32))
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
