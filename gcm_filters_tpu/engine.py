@@ -54,10 +54,15 @@ def scalar_filter_apply(
 ) -> Array:
     """Filter ``field`` (spatial dims last two, leading dims batched).
 
-    ``laplacian_fn`` overrides the stencil's local periodic laplacian (the
-    sharded engine injects a halo-exchanging one).
+    ``laplacian_fn`` optionally replaces the stencil's local periodic
+    laplacian (an extension hook for custom operator applications; note it
+    must close over coefficients cast to the compute dtype itself).
+    Non-floating inputs are promoted (the reference filters integer fields
+    via numpy promotion).
     """
-    dtype = jnp.asarray(field).dtype
+    field = jnp.asarray(field)
+    dtype = jnp.result_type(field.dtype, jnp.float32)
+    field = field.astype(dtype)
     stencil = _cast_operator(stencil, dtype)
     if laplacian_fn is None:
         laplacian_fn = stencil.laplacian
@@ -88,8 +93,15 @@ def vector_filter_apply(
     vfield: Array,
     laplacian_fn=None,
 ) -> Tuple[Array, Array]:
-    """Filter a vector field (u, v) in lockstep with a vector Laplacian."""
-    dtype = jnp.asarray(ufield).dtype
+    """Filter a vector field (u, v) in lockstep with a vector Laplacian.
+
+    Inputs are promoted to a common floating dtype.
+    """
+    ufield = jnp.asarray(ufield)
+    vfield = jnp.asarray(vfield)
+    dtype = jnp.result_type(ufield.dtype, vfield.dtype, jnp.float32)
+    ufield = ufield.astype(dtype)
+    vfield = vfield.astype(dtype)
     operator = _cast_operator(operator, dtype)
     if laplacian_fn is None:
         laplacian_fn = operator.laplacian

@@ -23,15 +23,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .engine import (
-    make_jitted_scalar_apply,
-    make_jitted_vector_apply,
-    scalar_filter_apply,
-    vector_filter_apply,
-)
+from .engine import make_jitted_scalar_apply, make_jitted_vector_apply
 from .filter_spec import (
     FilterShape,
-    FilterSpec,
     TargetSpec,
     compute_filter_spec,
     compute_n_steps_default,
@@ -211,6 +205,9 @@ class Filter:
                 )
         return self._jitted_vector
 
+    def _operator_name(self) -> str:
+        return "custom_operator" if self.custom_operator is not None else str(self.grid_type)
+
     def _coerce(self, arr):
         x = jnp.asarray(arr)
         if self.dtype is not None:
@@ -271,7 +268,7 @@ class Filter:
         """
         if self._is_vector:
             raise ValueError(
-                f"Provided Laplacian {self.grid_type} is a vector Laplacian. "
+                f"Provided Laplacian {self._operator_name()} is a vector Laplacian. "
                 "The ``.apply`` method is only suitable for scalar Laplacians."
             )
 
@@ -285,13 +282,24 @@ class Filter:
         return self._scalar_fn()(self._coerce(ds))
 
     def _apply_dict(self, ds: Dict):
-        """Dataset-analogue semantics on a plain dict of arrays."""
+        """Dataset-analogue semantics on a plain dict of arrays.
+
+        Variables are filtered iff their trailing two dims match the grid's
+        spatial shape. Grids without 2-D grid variables (e.g. REGULAR) carry
+        no shape, so the spatial shape is taken from the first variable with
+        ndim >= 2 (insertion order) — everything else passes through.
+        """
         ny_nx = self._spatial_shape()
+        if ny_nx is None:
+            for var in ds.values():
+                if np.ndim(var) >= 2:
+                    ny_nx = tuple(np.shape(var)[-2:])
+                    break
         filtered = {}
         any_filtered = False
         for key, var in ds.items():
             arr = np.asarray(var) if not isinstance(var, jax.Array) else var
-            if arr.ndim >= 2 and (ny_nx is None or tuple(arr.shape[-2:]) == ny_nx):
+            if arr.ndim >= 2 and tuple(arr.shape[-2:]) == ny_nx:
                 filtered[key] = self._scalar_fn()(self._coerce(arr))
                 any_filtered = True
             else:
@@ -344,12 +352,13 @@ class Filter:
         def _np_fn(x):
             return np.asarray(fn(self._coerce(x)))
 
+        out_dtype = np.dtype(self.dtype) if self.dtype is not None else da.dtype
         return xr.apply_ufunc(
             _np_fn,
             da,
             input_core_dims=[dims],
             output_core_dims=[dims],
-            output_dtypes=[da.dtype],
+            output_dtypes=[out_dtype],
             dask="parallelized",
         )
 
@@ -365,7 +374,7 @@ class Filter:
         """
         if self._is_vector:
             raise ValueError(
-                f"Provided Laplacian {self.grid_type} is a vector Laplacian. "
+                f"Provided Laplacian {self._operator_name()} is a vector Laplacian. "
                 "The ``.apply_streamed`` method is only suitable for scalar Laplacians."
             )
         shape = data.shape
@@ -373,6 +382,10 @@ class Filter:
             return np.asarray(self.apply(np.asarray(data)))
         lead = shape[:-2]
         n = int(np.prod(lead))
+        if n == 0:
+            out_dtype = np.dtype(self.dtype) if self.dtype is not None else \
+                np.result_type(getattr(data, "dtype", np.float64), np.float32)
+            return np.empty(shape, dtype=out_dtype)
         fn = self._scalar_fn()
         out = None
         for start in range(0, n, chunk):
@@ -393,7 +406,7 @@ class Filter:
         """
         if not self._is_vector:
             raise ValueError(
-                f"Provided Laplacian {self.grid_type} is a scalar Laplacian. "
+                f"Provided Laplacian {self._operator_name()} is a scalar Laplacian. "
                 "The ``.apply_to_vector`` method is only suitable for vector Laplacians."
             )
 
@@ -402,19 +415,23 @@ class Filter:
             if dims is None:
                 raise ValueError("xarray inputs require the `dims` argument")
             dims = list(dims)
+            if len(dims) != 2:
+                raise ValueError("`dims` must name exactly two spatial dimensions")
             fn = self._vector_fn()
 
             def _np_fn(u, v):
                 fu, fv = fn(self._coerce(u), self._coerce(v))
                 return np.asarray(fu), np.asarray(fv)
 
+            out_dtype = (np.dtype(self.dtype) if self.dtype is not None
+                         else ufield.dtype)
             return xr.apply_ufunc(
                 _np_fn,
                 ufield,
                 vfield,
                 input_core_dims=2 * [dims],
                 output_core_dims=2 * [dims],
-                output_dtypes=[ufield.dtype, vfield.dtype],
+                output_dtypes=[out_dtype, out_dtype],
                 dask="parallelized",
             )
 

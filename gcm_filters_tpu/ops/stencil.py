@@ -53,8 +53,12 @@ def hspace_drop_pre(stencil) -> bool:
     import numpy as np
 
     pre, post = stencil.pre, stencil.post
-    if pre is None or post is None or pre is not post or not stencil.zap_nans:
+    if pre is None or post is None or not stencil.zap_nans:
         return False
+    if pre is not post:  # identity is the common case; fall back to values
+        a, b = np.asarray(pre), np.asarray(post)
+        if a.shape != b.shape or not np.array_equal(a, b):
+            return False
     a = np.asarray(pre)
     return bool(np.all((a == 0) | (a == 1)))
 
