@@ -150,6 +150,23 @@ def main():
             results.append(row)
             print(json.dumps(row), flush=True)
 
+    # Taper shape: ~3x the steps, exercising the multi-pass trapezoid path.
+    gv = grid_vars_for(gf.GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+                       ny, nx, rng)
+    for pallas in (True, False):
+        filt = gf.Filter(
+            filter_scale=10.0, dx_min=1.0, filter_shape=gf.FilterShape.TAPER,
+            grid_type=gf.GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+            grid_vars=gv, dtype=jnp.float32, use_pallas=pallas,
+        )
+        dt = chain_time(filt._scalar_fn(), x, n_chain)
+        row = dict(grid="TRIPOLAR_REGULAR (taper)",
+                   path="pallas" if pallas else "xla",
+                   n_steps=filt.n_steps, ms=round(dt * 1e3, 3),
+                   gps=round(ny * nx * filt.n_steps / dt / 1e9, 2))
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
     u = jnp.asarray(rng.random((ny, nx)).astype(np.float32))
     v = jnp.asarray(rng.random((ny, nx)).astype(np.float32))
     for grid in (gf.GridType.VECTOR_C_GRID, gf.GridType.VECTOR_B_GRID):
