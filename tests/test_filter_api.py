@@ -266,3 +266,25 @@ def test_custom_operator_extension_point():
                     mesh=mesh, spatial_axes=("y", "x"))
     np.testing.assert_allclose(np.asarray(filt_s.apply(data)), out,
                                rtol=1e-10, atol=1e-12)
+
+
+def test_integer_input_promoted():
+    """Integer fields are filtered via promotion, as in the reference
+    (numpy would promote; the scan used to crash on int carries)."""
+    filt = Filter(filter_scale=4.0, dx_min=1.0)
+    data = np.arange(64 * 64).reshape(64, 64)
+    out = np.asarray(filt.apply(data))
+    assert np.issubdtype(out.dtype, np.floating)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out.mean(), data.mean(), rtol=1e-6)
+
+
+def test_dict_apply_passthrough_non_spatial():
+    """A small parameter table in the dict must pass through unfiltered even
+    for grids that carry no 2-D grid variables (REGULAR)."""
+    filt = Filter(filter_scale=4.0, dx_min=1.0)
+    sst = np.random.default_rng(0).random((32, 32))
+    table = np.outer(np.arange(6.0), np.arange(8.0))
+    res = filt.apply({"sst": sst, "table": table})
+    np.testing.assert_array_equal(np.asarray(res["table"]), table)
+    assert not np.allclose(np.asarray(res["sst"]), sst)
