@@ -20,7 +20,9 @@ _WORKER = textwrap.dedent(
     """
     import os, sys
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=%%d" %% (8 // nproc)
+    )
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
@@ -32,7 +34,7 @@ _WORKER = textwrap.dedent(
     from jax.experimental import multihost_utils
     import gcm_filters_tpu as gf
 
-    assert jax.device_count() == 8 and jax.process_count() == 2
+    assert jax.device_count() == 8 and jax.process_count() == nproc
 
     ny, nx = 64, 128
     rng = np.random.default_rng(0)
@@ -77,19 +79,22 @@ _WORKER = textwrap.dedent(
 )
 
 
-def test_two_process_distributed_matches_unsharded(tmp_path):
+@pytest.mark.parametrize("nproc,port", [(2, "29531"), (4, "29532")])
+def test_multi_process_distributed_matches_unsharded(tmp_path, nproc, port):
+    """nproc=2: the y axis crosses the process boundary. nproc=4 (2 devices
+    per process): the mesh's x axis — and with it the tripolar fold's
+    reversed pairing permute — crosses process boundaries too."""
     import pathlib
 
     repo = str(pathlib.Path(__file__).resolve().parent.parent)
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER % {"repo": repo})
-    port = "29531"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), "2", port],
+            [sys.executable, str(worker), str(i), str(nproc), port],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
-        for i in range(2)
+        for i in range(nproc)
     ]
     try:
         outs = [p.communicate(timeout=420)[0] for p in procs]
