@@ -18,11 +18,14 @@ TPU-native extensions:
 from .models.grids import GridType, required_grid_vars
 from .filter_spec import FilterShape, FilterSpec, filter_params
 from .filter import Filter
+from .ops.custom import BaseScalarOperator, BaseVectorOperator
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Filter",
+    "BaseScalarOperator",
+    "BaseVectorOperator",
     "FilterShape",
     "FilterSpec",
     "GridType",

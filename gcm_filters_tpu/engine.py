@@ -36,12 +36,20 @@ def _laplacian_scale(spec: FilterSpec, is_dimensional: bool) -> float:
 
 
 def _cast_operator(operator, dtype):
-    """Cast all floating-point leaves of an operator pytree to ``dtype``."""
+    """Cast all floating-point leaves of an operator pytree to ``dtype``.
+
+    Opaque leaves (free-form protocol operators are not pytrees — the whole
+    object is one leaf) pass through unchanged: they manage their own
+    coefficient dtypes.
+    """
 
     def cast(leaf):
         if isinstance(leaf, (float, int)):
             return leaf  # python scalars stay compile-time constants
-        leaf = jnp.asarray(leaf)
+        try:
+            leaf = jnp.asarray(leaf)
+        except (TypeError, ValueError):
+            return leaf
         if jnp.issubdtype(leaf.dtype, jnp.floating):
             return leaf.astype(dtype)
         return leaf
@@ -140,6 +148,17 @@ def _pallas_auto(use_pallas: bool | None) -> bool:
         return False
 
 
+def _compute_dtype(*dtypes):
+    """The floating dtype the filter actually computes in.
+
+    Inputs promote against float32 (integer fields filter via promotion, as
+    in the reference's numpy semantics); operator coefficients must be cast
+    to THIS dtype, never to a raw input dtype — casting float coefficients
+    (kappa, area) to an integer dtype would silently truncate them.
+    """
+    return jnp.result_type(*dtypes, jnp.float32)
+
+
 def _operator_dtype_cache(operator):
     """Per-compute-dtype eager device copies of an operator pytree.
 
@@ -147,10 +166,14 @@ def _operator_dtype_cache(operator):
     compile payload), so repeated calls must hand jit the SAME committed
     device arrays — passing host numpy would re-transfer every coefficient
     on every call, and casting inside the program would re-run per call.
+
+    Keys are normalized through :func:`_compute_dtype`, so integer input
+    dtypes can never truncate floating coefficients.
     """
     cache = {}
 
     def get(dtype):
+        dtype = _compute_dtype(dtype)
         key = str(dtype)
         if key not in cache:
             cache[key] = _cast_operator(operator, dtype)  # eager off-trace
@@ -168,7 +191,18 @@ def make_jitted_scalar_apply(
     argument: closing over it would embed the (potentially multi-hundred-MB)
     coefficient arrays as constants in the compile payload, which bloats
     compile caches and overflows remote-compile transports.
+
+    Free-form protocol operators (anything that isn't a framework stencil
+    type — the reference's arbitrary-Laplacian extension path,
+    kernels.py:43-87) run through the XLA engine with the operator closed
+    over (it is opaque to jax; see ops.custom).
     """
+    if not isinstance(stencil, ScalarStencil5):
+        from .ops.custom import as_protocol_adapter
+
+        adapter = as_protocol_adapter(stencil)
+        jitted = jax.jit(lambda field: scalar_filter_apply(adapter, spec, field))
+        return lambda field: jitted(jnp.asarray(field))
     if _pallas_auto(use_pallas):
         from .ops.pallas import make_pallas_scalar_apply
 
@@ -187,6 +221,14 @@ def make_jitted_scalar_apply(
 
 def make_jitted_vector_apply(operator, spec: FilterSpec, use_pallas: bool | None = None):
     """A compiled ``(u, v) -> (filtered_u, filtered_v)`` function."""
+    if not isinstance(operator, (BGridVectorStencil, CGridVectorOperator)):
+        from .ops.custom import as_protocol_adapter
+
+        adapter = as_protocol_adapter(operator)
+        jitted = jax.jit(
+            lambda u, v: vector_filter_apply(adapter, spec, u, v)
+        )
+        return lambda u, v: jitted(jnp.asarray(u), jnp.asarray(v))
     if _pallas_auto(use_pallas):
         from .ops.pallas.dispatch import make_pallas_vector_apply
 
@@ -198,6 +240,9 @@ def make_jitted_vector_apply(operator, spec: FilterSpec, use_pallas: bool | None
 
     def call(u, v):
         u = jnp.asarray(u)
-        return jitted(op_for(u.dtype), u, v)
+        v = jnp.asarray(v)
+        # key on the promoted compute dtype (u float32 + v float64 computes
+        # in float64; truncating coefficients to u's dtype would lose it)
+        return jitted(op_for(_compute_dtype(u.dtype, v.dtype)), u, v)
 
     return call

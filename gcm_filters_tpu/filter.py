@@ -96,11 +96,18 @@ class Filter:
     spatial_axes: Tuple[Optional[str], Optional[str]] = (None, None)
     batch_axis: Optional[str] = None
     halo_steps: Optional[int] = None  # Chebyshev steps per halo exchange round
-    # A user-built operator (ops.stencil.ScalarStencil5 or a vector operator)
-    # instead of a registry grid type — the reference's "define your own
-    # Laplacian" extension path. The full machinery (fused Pallas passes,
-    # sharding, halo exchange) works for any radius-1 operator expressed in
-    # the framework's stencil representation; grid_type/grid_vars are ignored.
+    # A user-built operator instead of a registry grid type — the
+    # reference's "define your own Laplacian" extension path
+    # (kernels.py:43-87, docs/how_to_contribute.rst). Two tiers:
+    #   * framework stencil types (ops.stencil.ScalarStencil5,
+    #     BGridVectorStencil, CGridVectorOperator): full machinery — fused
+    #     Pallas passes, mesh sharding, halo exchange — for any radius-1
+    #     operator expressed in the stencil representation;
+    #   * free-form protocol operators (subclass BaseScalarOperator /
+    #     BaseVectorOperator, or any object with prepare/__call__/finalize):
+    #     arbitrary math (9-point, biharmonic, ...) through the XLA engine,
+    #     single-device only (mesh= rejects them).
+    # grid_type/grid_vars are ignored when this is set.
     custom_operator: Optional[object] = dc_field(default=None, repr=False)
 
     def __post_init__(self):
@@ -151,10 +158,27 @@ class Filter:
         # Build the grid operator (validates grid_vars names and physics),
         # unless the user supplied one directly.
         if self.custom_operator is not None:
-            from .ops.stencil import ScalarStencil5
+            from .ops.custom import operator_is_vector
+            from .ops.stencil import (
+                BGridVectorStencil,
+                CGridVectorOperator,
+                ScalarStencil5,
+            )
 
             self.operator = self.custom_operator
-            self._is_vector = not isinstance(self.operator, ScalarStencil5)
+            self._is_vector = operator_is_vector(self.operator)
+            if self.mesh is not None and not isinstance(
+                self.operator,
+                (ScalarStencil5, BGridVectorStencil, CGridVectorOperator),
+            ):
+                raise ValueError(
+                    "Free-form (protocol) custom operators cannot be sharded "
+                    "with mesh=: the engine cannot know their communication "
+                    "pattern. Express the operator as a framework stencil "
+                    "type (ScalarStencil5 / BGridVectorStencil / "
+                    "CGridVectorOperator) to use the mesh machinery, or drop "
+                    "mesh= to run it single-device."
+                )
         else:
             self.operator = build_operator(self.grid_type, self.grid_vars)
             self._is_vector = is_vector_grid(self.grid_type)
@@ -277,27 +301,85 @@ class Filter:
             return self._apply_xarray(ds, dims)
 
         if isinstance(ds, dict):
-            return self._apply_dict(ds)
+            return self._apply_dict(ds, dims)
 
         return self._scalar_fn()(self._coerce(ds))
 
-    def _apply_dict(self, ds: Dict):
+    def _apply_dict(self, ds: Dict, dims: Optional[Sequence[str]] = None):
         """Dataset-analogue semantics on a plain dict of arrays.
 
-        Variables are filtered iff their trailing two dims match the grid's
-        spatial shape. Grids without 2-D grid variables (e.g. REGULAR) carry
-        no shape, so the spatial shape is taken from the first variable with
-        ndim >= 2 (insertion order) — everything else passes through.
+        Entries may be plain arrays or ``(array, dims_tuple)`` pairs naming
+        each array's dimensions. With ``dims`` (the two spatial dim names),
+        named entries are selected by *dimension names* exactly like the
+        reference's Dataset path (reference filter.py:454-467): filtered iff
+        they carry both names, which must be the trailing two dims in order
+        (latitude first). Plain arrays are selected by trailing shape against
+        the grid's spatial shape. Grids without 2-D grid variables (e.g.
+        REGULAR) carry no intrinsic shape; if plain entries then disagree on
+        their trailing 2-D shape, selection would silently depend on dict
+        insertion order, so that case raises — name the dims instead.
         """
+        named = {}
+        plain = {}
+        for key, var in ds.items():
+            if (
+                isinstance(var, tuple)
+                and len(var) == 2
+                and not np.isscalar(var[0])
+                and isinstance(var[1], (tuple, list))
+                and all(isinstance(d, str) for d in var[1])
+            ):
+                named[key] = var
+            else:
+                plain[key] = var
+        if named and dims is None:
+            raise ValueError(
+                "Dict entries with named dims ((array, dims) pairs) require "
+                "the `dims` argument naming the two spatial dimensions."
+            )
+        if dims is not None:
+            dims = tuple(dims)
+            if len(dims) != 2:
+                raise ValueError(
+                    "`dims` must name exactly two spatial dimensions"
+                )
+
         ny_nx = self._spatial_shape()
         if ny_nx is None:
-            for var in ds.values():
-                if np.ndim(var) >= 2:
-                    ny_nx = tuple(np.shape(var)[-2:])
-                    break
+            shapes = {
+                tuple(np.shape(v)[-2:])
+                for v in plain.values()
+                if np.ndim(v) >= 2
+            }
+            if len(shapes) > 1:
+                raise ValueError(
+                    f"Ambiguous dict input: variables have multiple distinct "
+                    f"trailing 2-D shapes {sorted(shapes)} and grid type "
+                    f"{self._operator_name()} carries no grid variables to "
+                    f"disambiguate. Pass entries as (array, dims) pairs with "
+                    f"the `dims` argument to name the spatial dimensions."
+                )
+            ny_nx = shapes.pop() if shapes else None
+
         filtered = {}
         any_filtered = False
         for key, var in ds.items():
+            if key in named:
+                arr, var_dims = named[key]
+                var_dims = tuple(var_dims)
+                if all(d in var_dims for d in dims):
+                    if var_dims[-2:] != dims:
+                        raise ValueError(
+                            f"Variable {key!r} has spatial dims {dims} but "
+                            f"not as its trailing two dimensions in order "
+                            f"(latitude first); transpose it to "
+                            f"(..., {dims[0]}, {dims[1]})."
+                        )
+                    filtered[key] = self._scalar_fn()(self._coerce(arr))
+                    any_filtered = True
+                else:
+                    filtered[key] = arr
+                continue
             arr = np.asarray(var) if not isinstance(var, jax.Array) else var
             if arr.ndim >= 2 and tuple(arr.shape[-2:]) == ny_nx:
                 filtered[key] = self._scalar_fn()(self._coerce(arr))

@@ -7,6 +7,7 @@ from .stencil import (
     north_neighbor,
 )
 from .laplacians import build_operator, build_scalar_stencil, build_vector_operator
+from .custom import BaseScalarOperator, BaseVectorOperator
 
 __all__ = [
     "ScalarStencil5",
@@ -16,4 +17,6 @@ __all__ = [
     "build_operator",
     "build_scalar_stencil",
     "build_vector_operator",
+    "BaseScalarOperator",
+    "BaseVectorOperator",
 ]

@@ -96,7 +96,12 @@ def _merge_stencil(skeleton: ScalarStencil5, arrays) -> ScalarStencil5:
 def _cast_arrays(arrays, dtype):
     """Per-dtype eager copies (pre-cast once; casting inside the compiled
     function would re-run on every call now that arrays are arguments).
-    Aliased entries stay aliased."""
+    Aliased entries stay aliased. ``dtype`` is normalized to the floating
+    compute dtype first — integer input dtypes must never truncate floating
+    coefficients (kappa, area)."""
+    from ...engine import _compute_dtype
+
+    dtype = _compute_dtype(dtype)
     out = {}
     seen = {}
     for k, v in arrays.items():
@@ -184,6 +189,40 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
                 return (lambda f, a, e: embedded(f)), arrays_dev, ext_dev
             return jax.jit(run), arrays_dev, ext_dev
 
+        # Pad-to-block rounds: shapes whose rows don't divide into
+        # sublane-aligned blocks reuse the sharded engine's local compute
+        # with both axes unsharded — halo.exchange_2d reduces to local
+        # periodic wrap (fold included) and the row padding frees the
+        # kernel from any ny divisibility constraint.
+        from ...parallel.sharded import (
+            _plan_local_pallas,
+            local_pallas_rounds_scalar,
+        )
+
+        host_coef_names = tuple(_coef_arrays(hot_host))
+        host_consts = {
+            k: float(getattr(hot_host, k))
+            for k in ("c", "n", "s", "e", "w")
+            if k not in host_coef_names
+        }
+        padded_plan = _plan_local_pallas(
+            ny, nx, spec.n_steps, len(host_coef_names),
+            hot_host.post is not None, np.dtype(dtype).itemsize, None,
+        )
+        if padded_plan is not None:
+            arrays_dev = _cast_arrays(arrays_host, dtype)
+
+            def run_padded(field, arrays, exts):
+                del exts
+                st = _merge_stencil(skeleton, arrays)
+                return local_pallas_rounds_scalar(
+                    st, field, p_host, spec.n_steps, scale, drop_pre,
+                    land_gain, host_coef_names, host_consts,
+                    (None, 1), (None, 1), None,
+                )
+
+            return jax.jit(run_padded), arrays_dev, []
+
         # Single-step fallback (cheb_step takes its coefficients as traced
         # stencil leaves, so arrays stay runtime args here too).
         arrays_dev = _cast_arrays(arrays_host, dtype)
@@ -229,9 +268,12 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
     _fb_cache = {}
 
     def _xla_fallback(field):
-        # built once per dtype: a fresh jit wrapper per call would retrace
-        # and recompile the whole scan on every filter application
-        key = str(field.dtype)
+        # built once per COMPUTE dtype (integer inputs promote): a fresh jit
+        # wrapper per call would retrace and recompile the whole scan on
+        # every filter application
+        from ...engine import _compute_dtype
+
+        key = str(_compute_dtype(field.dtype))
         if key not in _fb_cache:
             _fb_cache[key] = (
                 jax.jit(lambda f, a: scalar_filter_apply(
@@ -260,10 +302,20 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
         except jax.errors.JaxRuntimeError:
             # The VMEM planner is a model, not ground truth: if the chosen
             # kernel config fails to compile on this chip, pin this shape to
-            # the XLA path permanently.
+            # the XLA path permanently (with a warning + counter: the user
+            # should know they lost ~10x on this shape).
+            from ...utils.telemetry import record_fallback
+
             cache[key] = "xla"
+            record_fallback(
+                "pallas_compile_fallback",
+                f"scalar Pallas pass for shape {(ny, nx)} dtype "
+                f"{field.dtype} failed to compile; shape pinned to the XLA "
+                f"engine",
+            )
             return _xla_fallback(field)
 
+    apply_fn.shape_cache = cache  # exposed for tests/fault injection
     return apply_fn
 
 
@@ -354,19 +406,22 @@ def make_pallas_vector_apply(operator, spec: FilterSpec):
     _fb_cache = {}
 
     def apply_fn(u, v):
-        from ...engine import vector_filter_apply, _cast_operator
+        from ...engine import vector_filter_apply, _cast_operator, _compute_dtype
 
         u = jnp.asarray(u)
         v = jnp.asarray(v)
 
         def _xla():
-            # built once per dtype, operator pre-cast eagerly (see engine)
-            key = str(u.dtype)
+            # built once per COMPUTE dtype, operator pre-cast eagerly to the
+            # promoted floating dtype (see engine) — mixed or integer input
+            # dtypes must not round coefficients down
+            dtype = _compute_dtype(u.dtype, v.dtype)
+            key = str(dtype)
             if key not in _fb_cache:
                 _fb_cache[key] = (
                     jax.jit(lambda op, uu, vv: vector_filter_apply(
                         op, spec, uu, vv)),
-                    _cast_operator(operator, u.dtype),
+                    _cast_operator(operator, dtype),
                 )
             fn, op_dev = _fb_cache[key]
             return fn(op_dev, u, v)
@@ -398,8 +453,16 @@ def make_pallas_vector_apply(operator, spec: FilterSpec):
         except jax.errors.JaxRuntimeError:
             # VMEM planning is a model; pin shapes whose kernels fail to
             # compile on this chip to the XLA path (same as the scalar
-            # dispatcher).
+            # dispatcher), warning + counting the downgrade.
+            from ...utils.telemetry import record_fallback
+
             cache[key] = "xla"
+            record_fallback(
+                "pallas_compile_fallback",
+                f"vector Pallas pass for shape {(ny, nx)} dtype {u.dtype} "
+                f"failed to compile; shape pinned to the XLA engine",
+            )
             return _xla()
 
+    apply_fn.shape_cache = cache  # exposed for tests/fault injection
     return apply_fn

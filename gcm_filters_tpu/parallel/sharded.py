@@ -39,7 +39,7 @@ try:  # jax >= 0.8
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..engine import _laplacian_scale, _operator_dtype_cache
+from ..engine import _compute_dtype, _laplacian_scale, _operator_dtype_cache
 from ..filter_spec import FilterSpec
 from ..ops.stencil import BGridVectorStencil, CGridVectorOperator, ScalarStencil5
 from . import halo
@@ -188,6 +188,116 @@ def _plan_local_pallas(ly, lx, n_steps, n_coef, has_post, itemsize, halo_steps):
     return None
 
 
+def local_pallas_rounds_scalar(
+    st: ScalarStencil5,
+    field: Array,
+    p_host,
+    n_steps: int,
+    lap_scale: float,
+    drop_pre: bool,
+    land_gain: float,
+    host_coef_names,
+    host_consts,
+    y_axis,
+    x_axis,
+    halo_steps: Optional[int],
+) -> Optional[Array]:
+    """Wide-halo rounds with the temporally blocked Pallas pass as compute.
+
+    Per round: one halo exchange extends the carries by k cells (device
+    ppermutes on sharded axes, local periodic wrap — including the tripolar
+    fold — on unsharded ones); the extended and row-padded block then runs
+    the periodic trapezoid kernel (ops/pallas/cheb_pass.build_local_pass) —
+    wrap/pad garbage stays confined to the halo zone, which is re-filled by
+    the next exchange and sliced off at the end.
+
+    This is both the per-shard local compute of the shard_map engine AND,
+    with both axes unsharded, the single-device path for shapes whose rows
+    don't divide into sublane-aligned blocks (the row padding frees the
+    kernel from any divisibility constraint on ny).
+    """
+    from ..ops.pallas.cheb_pass import build_local_pass, ext_blocks_jnp
+
+    dtype = field.dtype
+    ly, lx = field.shape[-2:]
+    has_post = st.post is not None
+    planned = _plan_local_pallas(
+        ly, lx, n_steps, len(host_coef_names), has_post,
+        np.dtype(dtype).itemsize, halo_steps,
+    )
+    if planned is None:
+        return None
+    cells, khalo, br, rows_p, rounds = planned
+    cols_e = lx + 2 * cells
+    pad_rows = rows_p - (ly + 2 * cells)
+
+    # Extended + padded coefficient arrays, gathered to the kernel's
+    # (nb, br+2k, cols_e) layout once per apply. Padding goes on the
+    # north side, beyond the halo zone, where values are never read
+    # while valid.
+    hot = dataclasses.replace(st, pre=None) if drop_pre else st
+    ext_st = _extend_scalar_stencil(hot, cells, y_axis, x_axis)
+
+    def pad(a):
+        cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
+        return jnp.pad(a, cfgpad) if pad_rows else a
+
+    # Array coefficients are pre-scaled by -2*lap_scale (the pass
+    # kernel's coefficient convention; post is NOT scaled).
+    neg2s = np.dtype(dtype).type(-2.0 * lap_scale)
+    coef_exts = [
+        ext_blocks_jnp(
+            pad(getattr(ext_st, k)).astype(dtype) * neg2s, br, khalo
+        )
+        for k in host_coef_names
+    ]
+    if has_post:
+        coef_exts.append(
+            ext_blocks_jnp(pad(ext_st.post).astype(dtype), br, khalo)
+        )
+
+    fold = st.fold_north
+    fbar = st.prepare(field)
+    h = st.pre * jnp.nan_to_num(fbar) if drop_pre else fbar
+    p = jnp.asarray(p_host, dtype=dtype)
+    core = lambda a: a[..., cells : cells + ly, cells : cells + lx]
+
+    state = None
+    acc = None
+    off = 0
+    for m, n_ops in enumerate(rounds):
+        first = m == 0
+        last = m == len(rounds) - 1
+        pass_fn = build_local_pass(
+            rows_p, cols_e, dtype, br, khalo, n_ops,
+            host_coef_names, host_consts, has_post,
+            zap=(False if drop_pre else st.zap_nans),
+            lap_scale=lap_scale, first_pass=first, last_pass=last,
+        )
+        if first:
+            ext = pad(halo.exchange_2d(h, cells, y_axis, x_axis, fold))
+            fields = (ext,)
+        else:
+            cur, prev = state
+            stacked = jnp.stack([cur, prev])
+            ext = pad(halo.exchange_2d(stacked, cells, y_axis, x_axis, fold))
+            fields = (ext[0], ext[1], acc)
+        n_p = n_ops + 1 if first else n_ops
+        out = pass_fn(p[off : off + n_p], coef_exts, *fields)
+        off += n_p
+        if last:
+            acc = out
+        else:
+            state = (core(out[0]), core(out[1]))
+            acc = out[2]
+
+    result = core(acc)
+    if drop_pre:
+        # 0*fbar restores wet-cell NaNs scrubbed by the h-space trick
+        result = jnp.where(st.pre == 0, land_gain * fbar, result + 0 * fbar)
+    return st.finalize(result)
+
+
 def make_sharded_scalar_apply(
     stencil: ScalarStencil5,
     spec: FilterSpec,
@@ -283,95 +393,10 @@ def make_sharded_scalar_apply(
         return st.finalize(acc)
 
     def _local_pallas_2d(st: ScalarStencil5, field: Array) -> Optional[Array]:
-        """Rounds with the temporally blocked Pallas pass as local compute.
-
-        Per round: one device-level wide-halo exchange extends the carries by
-        k cells; the extended (and row-padded) local block then runs the
-        periodic trapezoid kernel (ops/pallas/cheb_pass.build_local_pass) —
-        wrap/pad garbage stays confined to the halo zone, which is re-filled
-        by the next exchange and sliced off at the end.
-        """
-        from ..ops.pallas.cheb_pass import build_local_pass, ext_blocks_jnp
-
-        dtype = field.dtype
-        ly, lx = field.shape[-2:]
-        n_coef = len(host_coef_names)
-        has_post = stencil.post is not None
-        planned = _plan_local_pallas(
-            ly, lx, spec.n_steps, n_coef, has_post,
-            np.dtype(dtype).itemsize, halo_steps,
+        return local_pallas_rounds_scalar(
+            st, field, p_host, spec.n_steps, lap_scale, drop_pre, land_gain,
+            host_coef_names, host_consts, y_axis, x_axis, halo_steps,
         )
-        if planned is None:
-            return None
-        cells, khalo, br, rows_p, rounds = planned
-        cols_e = lx + 2 * cells
-        pad_rows = rows_p - (ly + 2 * cells)
-
-        # Extended + padded coefficient arrays, gathered to the kernel's
-        # (nb, br+2k, cols_e) layout once per apply. Padding goes on the
-        # north side, beyond the halo zone, where values are never read
-        # while valid.
-        hot = dataclasses.replace(st, pre=None) if drop_pre else st
-        ext_st = _extend_scalar_stencil(hot, cells, y_axis, x_axis)
-
-        def pad(a):
-            cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
-            return jnp.pad(a, cfgpad) if pad_rows else a
-
-        # Array coefficients are pre-scaled by -2*lap_scale (the pass
-        # kernel's coefficient convention; post is NOT scaled).
-        neg2s = np.dtype(dtype).type(-2.0 * lap_scale)
-        coef_exts = [
-            ext_blocks_jnp(
-                pad(getattr(ext_st, k)).astype(dtype) * neg2s, br, khalo
-            )
-            for k in host_coef_names
-        ]
-        if has_post:
-            coef_exts.append(
-                ext_blocks_jnp(pad(ext_st.post).astype(dtype), br, khalo)
-            )
-
-        fold = st.fold_north
-        fbar = st.prepare(field)
-        h = st.pre * jnp.nan_to_num(fbar) if drop_pre else fbar
-        p = jnp.asarray(p_host, dtype=dtype)
-        core = lambda a: a[..., cells : cells + ly, cells : cells + lx]
-
-        state = None
-        acc = None
-        off = 0
-        for m, n_ops in enumerate(rounds):
-            first = m == 0
-            last = m == len(rounds) - 1
-            pass_fn = build_local_pass(
-                rows_p, cols_e, dtype, br, khalo, n_ops,
-                host_coef_names, host_consts, has_post,
-                zap=(False if drop_pre else stencil.zap_nans),
-                lap_scale=lap_scale, first_pass=first, last_pass=last,
-            )
-            if first:
-                ext = pad(halo.exchange_2d(h, cells, y_axis, x_axis, fold))
-                fields = (ext,)
-            else:
-                cur, prev = state
-                stacked = jnp.stack([cur, prev])
-                ext = pad(halo.exchange_2d(stacked, cells, y_axis, x_axis, fold))
-                fields = (ext[0], ext[1], acc)
-            n_p = n_ops + 1 if first else n_ops
-            out = pass_fn(p[off : off + n_p], coef_exts, *fields)
-            off += n_p
-            if last:
-                acc = out
-            else:
-                state = (core(out[0]), core(out[1]))
-                acc = out[2]
-
-        result = core(acc)
-        if drop_pre:
-            # 0*fbar restores wet-cell NaNs scrubbed by the h-space trick
-            result = jnp.where(st.pre == 0, land_gain * fbar, result + 0 * fbar)
-        return st.finalize(result)
 
     def _local(st: ScalarStencil5, field: Array) -> Array:
         if _pallas_on(field.dtype):
@@ -402,17 +427,35 @@ def make_sharded_scalar_apply(
     jitted = jax.jit(sharded)
     op_for = _operator_dtype_cache(stencil)
 
+    _primary = [jitted]
+
     def apply_fn(field):
         arr, restore = _normalize(field)
-        st = op_for(arr.dtype)
-        try:
-            return restore(jitted(st, arr))
-        except jax.errors.JaxRuntimeError:
-            # VMEM planning is a model, not ground truth: if the local Pallas
-            # kernel fails to compile on this chip, fall back to XLA rounds.
-            nonlocal_fallback = _fallback_jitted()
-            return restore(nonlocal_fallback(st, arr))
+        # the local compute runs at the field's dtype, so integer inputs are
+        # promoted here (the unsharded engine promotes in-trace instead)
+        dtype = _compute_dtype(arr.dtype)
+        if arr.dtype != dtype:
+            arr = arr.astype(dtype)
+        st = op_for(dtype)
+        if _primary[0] is not None:
+            try:
+                return restore(_primary[0](st, arr))
+            except jax.errors.JaxRuntimeError:
+                # VMEM planning is a model, not ground truth: if the local
+                # Pallas kernel fails to compile on this chip, pin this
+                # apply to XLA rounds permanently (warned + counted).
+                from ..utils.telemetry import record_fallback
 
+                _primary[0] = None
+                record_fallback(
+                    "sharded_pallas_compile_fallback",
+                    f"sharded local Pallas compute for shape "
+                    f"{arr.shape[-2:]} dtype {arr.dtype} failed to compile; "
+                    f"pinned to sharded XLA rounds",
+                )
+        return restore(_fallback_jitted()(st, arr))
+
+    apply_fn._primary = _primary  # exposed for tests/fault injection
     _fb = []
 
     def _fallback_jitted():
@@ -489,7 +532,13 @@ def make_sharded_vector_apply(
         reach = 1
     else:
         op_operand = operator
-        reach = _REACH[type(operator)]
+        reach = _REACH.get(type(operator))
+        if reach is None:
+            raise ValueError(
+                f"Operator type {type(operator).__name__} is not supported "
+                "with mesh=: only framework stencil types can be sharded "
+                "(Filter rejects protocol operators at construction)."
+            )
 
     op_specs = jax.tree_util.tree_map(
         lambda l: _leaf_spec(l, yax, xax), op_operand
@@ -681,14 +730,36 @@ def make_sharded_vector_apply(
             _fb.append(jax.jit(fb))
         return _fb[0]
 
+    _primary = [jitted]
+
     def apply_fn(u, v):
         u3, restore = _normalize(u)
         v3, _ = _normalize(v)
-        op = op_for(u3.dtype)
-        try:
-            fu, fv = jitted(op, u3, v3)
-        except jax.errors.JaxRuntimeError:
-            fu, fv = _fallback_jitted()(op, u3, v3)
+        # promote both components to the common floating compute dtype (the
+        # local compute runs at the fields' dtype; mixed/integer inputs must
+        # not truncate coefficients or compute in ints)
+        dtype = _compute_dtype(u3.dtype, v3.dtype)
+        if u3.dtype != dtype:
+            u3 = u3.astype(dtype)
+        if v3.dtype != dtype:
+            v3 = v3.astype(dtype)
+        op = op_for(dtype)
+        if _primary[0] is not None:
+            try:
+                fu, fv = _primary[0](op, u3, v3)
+                return restore(fu), restore(fv)
+            except jax.errors.JaxRuntimeError:
+                from ..utils.telemetry import record_fallback
+
+                _primary[0] = None
+                record_fallback(
+                    "sharded_pallas_compile_fallback",
+                    f"sharded local Pallas vector compute for shape "
+                    f"{u3.shape[-2:]} dtype {u3.dtype} failed to compile; "
+                    f"pinned to sharded XLA rounds",
+                )
+        fu, fv = _fallback_jitted()(op, u3, v3)
         return restore(fu), restore(fv)
 
+    apply_fn._primary = _primary  # exposed for tests/fault injection
     return apply_fn

@@ -1,0 +1,191 @@
+"""The free-form custom-operator protocol (reference kernels.py:43-87,
+docs/how_to_contribute.rst: subclass the base Laplacian with any
+prepare/__call__/finalize). Verifies a user-defined 9-point scalar operator
+and a custom vector operator against hand-rolled Chebyshev loops, the
+prepare/finalize hooks, classification rules, and the mesh= rejection."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gcm_filters_tpu import (
+    BaseScalarOperator,
+    BaseVectorOperator,
+    Filter,
+    GridType,
+)
+
+
+class NinePointLaplacian(BaseScalarOperator):
+    """A 9-point (Oono-Puri style) discrete Laplacian: something the
+    framework's 5-point stencil representation cannot express."""
+
+    def __call__(self, f):
+        n = jnp.roll(f, -1, -2)
+        s = jnp.roll(f, 1, -2)
+        e = jnp.roll(f, -1, -1)
+        w = jnp.roll(f, 1, -1)
+        ne = jnp.roll(n, -1, -1)
+        nw = jnp.roll(n, 1, -1)
+        se = jnp.roll(s, -1, -1)
+        sw = jnp.roll(s, 1, -1)
+        return 0.5 * (n + s + e + w) + 0.25 * (ne + nw + se + sw) - 3.0 * f
+
+
+def _hand_rolled_filter(lap, spec, field, prepare=None, finalize=None):
+    """The reference's Chebyshev loop (filter.py:154-214), verbatim in numpy
+    semantics, as the oracle for protocol operators."""
+    p = np.asarray(spec.p)
+    lap_scale = 2.0 / (spec.s_max * spec.dx_min_sq)
+
+    def shifted(f):
+        return -f - lap_scale * np.asarray(lap(jnp.asarray(f)))
+
+    fbar = prepare(field) if prepare else field
+    t2 = fbar
+    t1 = shifted(fbar)
+    acc = p[0] * t2 + p[1] * t1
+    for i in range(2, len(p)):
+        t0 = 2.0 * shifted(t1) - t2
+        acc = acc + p[i] * t0
+        t2, t1 = t1, t0
+    return finalize(acc) if finalize else acc
+
+
+def test_nine_point_scalar_protocol_operator():
+    op = NinePointLaplacian()
+    filt = Filter(filter_scale=6.0, dx_min=1.0, custom_operator=op)
+    assert not filt._is_vector
+    rng = np.random.default_rng(11)
+    data = rng.random((48, 64))
+    out = np.asarray(filt.apply(data))
+    expected = _hand_rolled_filter(op, filt.filter_spec, data)
+    np.testing.assert_allclose(out, expected, rtol=1e-11, atol=1e-13)
+    # conservation: the 9-point stencil has zero column sums
+    np.testing.assert_allclose(out.sum(), data.sum(), rtol=1e-10)
+    # batched leading dims work through the protocol path too
+    batch = rng.random((3, 48, 64))
+    outb = np.asarray(filt.apply(batch))
+    np.testing.assert_allclose(outb[1],
+                               _hand_rolled_filter(op, filt.filter_spec,
+                                                   batch[1]),
+                               rtol=1e-11, atol=1e-13)
+
+
+def test_scalar_protocol_prepare_finalize_hooks():
+    """An area-weighted protocol operator must match the built-in
+    REGULAR_AREA_WEIGHTED grid (same math via prepare/finalize hooks)."""
+    rng = np.random.default_rng(5)
+    area = 0.8 + 0.4 * rng.random((32, 48))
+
+    class AreaWeighted(BaseScalarOperator):
+        def prepare(self, f):
+            return f * area
+
+        def finalize(self, f):
+            return f / area
+
+        def __call__(self, f):
+            return (jnp.roll(f, -1, -2) + jnp.roll(f, 1, -2)
+                    + jnp.roll(f, -1, -1) + jnp.roll(f, 1, -1) - 4.0 * f)
+
+    filt = Filter(filter_scale=4.0, dx_min=1.0,
+                  custom_operator=AreaWeighted())
+    ref = Filter(filter_scale=4.0, dx_min=1.0,
+                 grid_type=GridType.REGULAR_AREA_WEIGHTED,
+                 grid_vars={"area": area}, use_pallas=False)
+    data = rng.random((32, 48))
+    np.testing.assert_allclose(np.asarray(filt.apply(data)),
+                               np.asarray(ref.apply(data)),
+                               rtol=1e-11, atol=1e-13)
+
+
+def test_custom_vector_protocol_operator():
+    """A decoupled vector Laplacian through BaseVectorOperator must equal
+    the scalar REGULAR filter applied to each component."""
+
+    class DecoupledVector(BaseVectorOperator):
+        def __call__(self, u, v):
+            def lap(f):
+                return (jnp.roll(f, -1, -2) + jnp.roll(f, 1, -2)
+                        + jnp.roll(f, -1, -1) + jnp.roll(f, 1, -1) - 4.0 * f)
+
+            return lap(u), lap(v)
+
+    vf = Filter(filter_scale=4.0, dx_min=1.0,
+                custom_operator=DecoupledVector())
+    assert vf._is_vector
+    sf = Filter(filter_scale=4.0, dx_min=1.0, use_pallas=False)
+    rng = np.random.default_rng(21)
+    u = rng.random((32, 32))
+    v = rng.random((32, 32))
+    fu, fv = (np.asarray(a) for a in vf.apply_to_vector(u, v))
+    np.testing.assert_allclose(fu, np.asarray(sf.apply(u)),
+                               rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(fv, np.asarray(sf.apply(v)),
+                               rtol=1e-11, atol=1e-13)
+    # vector ops reject .apply with the reference's message shape
+    with pytest.raises(ValueError, match="vector Laplacian"):
+        vf.apply(u)
+
+
+def test_duck_typed_operator_without_base_class():
+    """Any object with __call__(field) works — no subclassing required
+    (arity classification), and prepare/finalize default to identity."""
+
+    class Bare:
+        def __call__(self, f):
+            return (jnp.roll(f, -1, -2) + jnp.roll(f, 1, -2)
+                    + jnp.roll(f, -1, -1) + jnp.roll(f, 1, -1) - 4.0 * f)
+
+    filt = Filter(filter_scale=4.0, dx_min=1.0, custom_operator=Bare())
+    assert not filt._is_vector
+    ref = Filter(filter_scale=4.0, dx_min=1.0, use_pallas=False)
+    data = np.random.default_rng(2).random((32, 32))
+    np.testing.assert_allclose(np.asarray(filt.apply(data)),
+                               np.asarray(ref.apply(data)),
+                               rtol=1e-11, atol=1e-13)
+
+
+def test_unclassifiable_operator_raises():
+    class ThreeArg:
+        def __call__(self, a, b, c):
+            return a
+
+    with pytest.raises(ValueError, match="classify"):
+        Filter(filter_scale=4.0, dx_min=1.0, custom_operator=ThreeArg())
+
+
+def test_protocol_operator_rejects_mesh():
+    """Free-form operators cannot be sharded: the mesh machinery needs the
+    stencil representation to build halos. Clear error at construction
+    (round-1 advisor low finding: used to KeyError deep in sharded.py)."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("y", "x"))
+    with pytest.raises(ValueError, match="protocol"):
+        Filter(filter_scale=4.0, dx_min=1.0,
+               custom_operator=NinePointLaplacian(),
+               mesh=mesh, spatial_axes=("y", "x"))
+
+
+def test_dimensional_protocol_operator_scaling():
+    """is_dimensional=True selects the dimensional shifted-operator scale
+    (2/s_max, reference filter.py:162-175): a dimensional operator on a
+    unit grid must match the equivalent nondimensional one when
+    dx_min_sq = 1."""
+
+    class DimLap(BaseScalarOperator):
+        is_dimensional = True
+
+        def __call__(self, f):
+            return (jnp.roll(f, -1, -2) + jnp.roll(f, 1, -2)
+                    + jnp.roll(f, -1, -1) + jnp.roll(f, 1, -1) - 4.0 * f)
+
+    filt = Filter(filter_scale=4.0, dx_min=1.0, custom_operator=DimLap())
+    ref = Filter(filter_scale=4.0, dx_min=1.0, use_pallas=False)
+    data = np.random.default_rng(3).random((32, 32))
+    np.testing.assert_allclose(np.asarray(filt.apply(data)),
+                               np.asarray(ref.apply(data)),
+                               rtol=1e-11, atol=1e-13)

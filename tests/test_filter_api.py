@@ -281,12 +281,19 @@ def test_integer_input_promoted():
 
 def test_dict_apply_passthrough_non_spatial():
     """A small parameter table in the dict must pass through unfiltered even
-    for grids that carry no 2-D grid variables (REGULAR)."""
+    for grids that carry no 2-D grid variables (REGULAR). Two distinct 2-D
+    shapes on a shape-less grid are ambiguous, so the intent is expressed
+    with named dims (the 1-D time axis still passes through by shape)."""
     filt = Filter(filter_scale=4.0, dx_min=1.0)
     sst = np.random.default_rng(0).random((32, 32))
     table = np.outer(np.arange(6.0), np.arange(8.0))
-    res = filt.apply({"sst": sst, "table": table})
+    res = filt.apply(
+        {"sst": (sst, ("y", "x")), "table": (table, ("a", "b")),
+         "time": np.arange(4.0)},
+        dims=("y", "x"),
+    )
     np.testing.assert_array_equal(np.asarray(res["table"]), table)
+    np.testing.assert_array_equal(np.asarray(res["time"]), np.arange(4.0))
     assert not np.allclose(np.asarray(res["sst"]), sst)
 
 
@@ -310,3 +317,128 @@ def test_one_dimensional_filter_via_custom_operator():
     # in the stopband (~6e-5); k=1 (grid-k 0.0245) passes (~0.99).
     assert spec_out[31] < 0.01 * spec_in[31]
     assert spec_out[1] > 0.9 * spec_in[1]
+
+
+def test_integer_input_array_coefficient_grid():
+    """Integer input on an array-coefficient grid (IRREGULAR_WITH_LAND) must
+    match the float path exactly: the per-dtype operator cache must key on
+    the PROMOTED compute dtype, never the raw input dtype — keying on int32
+    used to truncate kappa/area coefficients to 0/1 before the in-trace
+    re-promotion (round-1 advisor high-severity finding)."""
+    from conftest import make_scalar_grid_data
+    from gcm_filters_tpu import GridType
+
+    grid_type, _, grid_vars = make_scalar_grid_data(
+        GridType.IRREGULAR_WITH_LAND, shape=(64, 64))
+    filt = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars)
+    rng = np.random.default_rng(7)
+    data_i = rng.integers(0, 10, size=(64, 64)).astype(np.int32)
+    out_i = np.asarray(filt.apply(data_i))
+    assert np.issubdtype(out_i.dtype, np.floating)
+    # int32 promotes to float32 under jax semantics: the int path must be
+    # bit-identical to the float32 path (same compute dtype, same program)
+    out_f32 = np.asarray(filt.apply(data_i.astype(np.float32)))
+    np.testing.assert_array_equal(out_i, out_f32)
+    # and agree with float64 to f32 resolution (truncated coefficients were
+    # off by O(1) on O(6) data before the fix)
+    out_f64 = np.asarray(filt.apply(data_i.astype(np.float64)))
+    np.testing.assert_allclose(out_i, out_f64, rtol=1e-5, atol=1e-5)
+
+
+def test_integer_input_array_coefficient_grid_sharded():
+    """Same promotion contract through the sharded path, whose local compute
+    runs at the field dtype (so the field itself must be promoted)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from conftest import make_scalar_grid_data
+    from gcm_filters_tpu import GridType
+
+    grid_type, _, grid_vars = make_scalar_grid_data(
+        GridType.IRREGULAR_WITH_LAND, shape=(64, 64))
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("y", "x"))
+    filt = Filter(filter_scale=4.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars, mesh=mesh, spatial_axes=("y", "x"))
+    rng = np.random.default_rng(7)
+    data_i = rng.integers(0, 10, size=(64, 64)).astype(np.int32)
+    out_i = np.asarray(filt.apply(data_i))
+    assert np.issubdtype(out_i.dtype, np.floating)
+    out_f32 = np.asarray(filt.apply(data_i.astype(np.float32)))
+    np.testing.assert_array_equal(out_i, out_f32)
+    out_f64 = np.asarray(filt.apply(data_i.astype(np.float64)))
+    np.testing.assert_allclose(out_i, out_f64, rtol=1e-5, atol=1e-5)
+
+
+def test_integer_and_mixed_dtype_vector_input_promoted():
+    """The vector operator cache must key on the PROMOTED compute dtype:
+    int32 (u, v) used to truncate the metric coefficient arrays to ints, and
+    u float32 + v float64 used to round all coefficients to float32."""
+    from conftest import make_vector_grid_data
+    from gcm_filters_tpu import GridType
+
+    grid_type, _, grid_vars = make_vector_grid_data(
+        GridType.VECTOR_C_GRID, shape=(64, 64))
+    filt = Filter(filter_scale=3.0, dx_min=1.0, grid_type=grid_type,
+                  grid_vars=grid_vars)
+    rng = np.random.default_rng(3)
+    u_i = rng.integers(0, 10, size=(64, 64)).astype(np.int32)
+    v_i = rng.integers(0, 10, size=(64, 64)).astype(np.int32)
+    fu, fv = (np.asarray(a) for a in filt.apply_to_vector(u_i, v_i))
+    assert np.issubdtype(fu.dtype, np.floating)
+    # bit-identical to the float32 path (int32 promotes to f32 in jax)
+    fu32, fv32 = (np.asarray(a) for a in filt.apply_to_vector(
+        u_i.astype(np.float32), v_i.astype(np.float32)))
+    np.testing.assert_array_equal(fu, fu32)
+    np.testing.assert_array_equal(fv, fv32)
+    # and within f32 resolution of the float64 path
+    fu_ref, fv_ref = (np.asarray(a) for a in filt.apply_to_vector(
+        u_i.astype(np.float64), v_i.astype(np.float64)))
+    np.testing.assert_allclose(fu, fu_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(fv, fv_ref, rtol=1e-4, atol=1e-4)
+
+    # mixed float dtypes promote to the wider one
+    fu_m, _ = filt.apply_to_vector(
+        u_i.astype(np.float32), v_i.astype(np.float64))
+    assert np.asarray(fu_m).dtype == np.float64
+
+
+def test_dict_apply_ambiguous_shapes_raise():
+    """With no grid-intrinsic shape, two distinct trailing 2-D shapes would
+    make selection depend on dict insertion order — must raise instead
+    (round-1 advisor medium finding: {"table": (6,8), "sst": (32,32)} used
+    to filter the parameter table and pass the data through)."""
+    filt = Filter(filter_scale=4.0, dx_min=1.0)
+    sst = np.random.default_rng(0).random((32, 32))
+    table = np.outer(np.arange(6.0), np.arange(8.0))
+    with pytest.raises(ValueError, match="Ambiguous dict input"):
+        filt.apply({"table": table, "sst": sst})
+
+
+def test_dict_apply_named_dims():
+    """(array, dims) entries select by dimension NAMES, like the reference's
+    Dataset path (reference filter.py:454-467): a spatially-shaped parameter
+    table whose dims are not spatial must pass through."""
+    filt = Filter(filter_scale=4.0, dx_min=1.0)
+    rng = np.random.default_rng(0)
+    sst = rng.random((32, 32))
+    lookup = rng.random((32, 32))  # same shape, NOT spatial dims
+    res = filt.apply(
+        {"sst": (sst, ("y", "x")), "lookup": (lookup, ("mode", "param"))},
+        dims=("y", "x"),
+    )
+    assert not np.allclose(np.asarray(res["sst"]), sst)
+    np.testing.assert_array_equal(np.asarray(res["lookup"]), lookup)
+
+    # dims arg is mandatory once named entries appear
+    with pytest.raises(ValueError, match="require"):
+        filt.apply({"sst": (sst, ("y", "x"))})
+
+    # wrong trailing order is an error, not a silent misfilter
+    with pytest.raises(ValueError, match="trailing two"):
+        filt.apply({"sst": (sst, ("x", "y"))}, dims=("y", "x"))
+
+    # batched named entries work
+    batched = rng.random((3, 32, 32))
+    res = filt.apply({"f": (batched, ("t", "y", "x"))}, dims=("y", "x"))
+    assert np.asarray(res["f"]).shape == batched.shape

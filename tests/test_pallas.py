@@ -150,15 +150,46 @@ def test_pallas_wet_cell_nan_semantics():
     np.testing.assert_allclose(got[far], want[far], rtol=1e-11, atol=1e-13)
 
 
-def test_pallas_fallback_odd_shapes():
-    """Shapes the planner can't block (rows not a multiple of 8) must fall
-    through the dispatch chain to the XLA engine and stay exact."""
+def test_pallas_padded_rounds_odd_shapes(monkeypatch):
+    """Shapes the block planner can't divide (rows not a multiple of 8) run
+    the pad-to-block rounds path — the Pallas kernel must actually execute
+    (round 1 fell back to XLA here) and stay exact vs the XLA engine."""
+    import gcm_filters_tpu.parallel.sharded as sh
+
     ny, nx = 126, 130  # no multiple-of-8 divisor of ny
     wet = np.ones((ny, nx)); wet[0] = 0
     filt = Filter(filter_scale=4.0, dx_min=1.0,
                   grid_type=GridType.REGULAR_WITH_LAND,
                   grid_vars={"wet_mask": wet}, use_pallas=False)
     data = np.random.default_rng(2).random((ny, nx))
+
+    calls = []
+    real = sh.local_pallas_rounds_scalar
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(sh, "local_pallas_rounds_scalar", spy)
+    fn = make_pallas_scalar_apply(filt.operator, filt.filter_spec)
+    got = np.asarray(fn(jnp.asarray(data)))
+    assert calls, "padded Pallas rounds never ran for odd ny"
+    want = np.asarray(
+        scalar_filter_apply(filt.operator, filt.filter_spec, jnp.asarray(data))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-13)
+
+
+def test_pallas_padded_rounds_odd_shape_fold():
+    """Pad-to-block with the tripolar fold: the local-wrap halo must carry
+    the seam exactly for arbitrary ny (and batched inputs)."""
+    ny, nx = 118, 120
+    wet = np.ones((ny, nx)); wet[0] = 0
+    area = 0.9 + 0.2 * np.random.default_rng(4).random((ny, nx))
+    filt = Filter(filter_scale=4.0, dx_min=1.0,
+                  grid_type=GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+                  grid_vars={"area": area, "wet_mask": wet}, use_pallas=False)
+    data = np.random.default_rng(3).random((2, ny, nx))
     fn = make_pallas_scalar_apply(filt.operator, filt.filter_spec)
     got = np.asarray(fn(jnp.asarray(data)))
     want = np.asarray(
