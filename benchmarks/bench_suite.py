@@ -182,6 +182,48 @@ def main():
             results.append(row)
             print(json.dumps(row), flush=True)
 
+    # Sharded overhead on THIS device: a 1x1 mesh runs the full shard_map
+    # machinery (halo concats, coefficient extension, trapezoid local
+    # compute) with no actual communication — the fixed cost of the
+    # decomposition, measurable on a single chip.
+    from jax.sharding import Mesh as _Mesh
+
+    gv = grid_vars_for(gf.GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+                       ny, nx, rng)
+    kw = dict(filter_scale=10.0, dx_min=1.0,
+              grid_type=gf.GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+              grid_vars=gv, dtype=jnp.float32)
+    mesh1 = _Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("y", "x"))
+    t_un = chain_time(gf.Filter(**kw)._scalar_fn(), x, n_chain)
+    t_sh = chain_time(
+        gf.Filter(**kw, mesh=mesh1, spatial_axes=("y", "x"))._scalar_fn(),
+        x, n_chain)
+    row = dict(grid="TRIPOLAR_REGULAR (sharded 1x1 overhead)",
+               ms_unsharded=round(t_un * 1e3, 3),
+               ms_sharded_1x1=round(t_sh * 1e3, 3),
+               overhead=round(t_sh / t_un - 1, 3))
+    results.append(row)
+    print(json.dumps(row), flush=True)
+
+    # Communication census (virtual 8-device CPU mesh, subprocess: needs a
+    # CPU backend with forced device count): collective-permute counts and
+    # payload volumes per apply — the measured side of the ICI scaling
+    # model in benchmarks/README.md.
+    import subprocess
+
+    try:
+        cen = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "comm_census.py")],
+            capture_output=True, text=True, timeout=900, check=True)
+        for line in cen.stdout.splitlines():
+            if line.startswith("{"):
+                row = json.loads(line)
+                results.append(row)
+                print(json.dumps(row), flush=True)
+    except Exception as e:  # census is auxiliary; never sink the suite
+        print(f"# comm census skipped: {e}", flush=True)
+
     n_dev = len(jax.devices())
     if n_dev > 1:
         from jax.sharding import Mesh
