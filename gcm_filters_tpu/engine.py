@@ -183,7 +183,10 @@ def _operator_dtype_cache(operator):
 
 
 def make_jitted_scalar_apply(
-    stencil: ScalarStencil5, spec: FilterSpec, use_pallas: bool | None = None
+    stencil: ScalarStencil5,
+    spec: FilterSpec,
+    use_pallas: bool | None = None,
+    exact_nan: bool = False,
 ):
     """A compiled ``field -> filtered`` function for this stencil.
 
@@ -206,7 +209,7 @@ def make_jitted_scalar_apply(
     if _pallas_auto(use_pallas):
         from .ops.pallas import make_pallas_scalar_apply
 
-        fn = make_pallas_scalar_apply(stencil, spec)
+        fn = make_pallas_scalar_apply(stencil, spec, exact_nan=exact_nan)
         if fn is not None:
             return fn  # manages its own jit + argument threading
     jitted = jax.jit(lambda st, field: scalar_filter_apply(st, spec, field))

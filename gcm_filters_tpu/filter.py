@@ -96,6 +96,13 @@ class Filter:
     spatial_axes: Tuple[Optional[str], Optional[str]] = (None, None)
     batch_axis: Optional[str] = None
     halo_steps: Optional[int] = None  # Chebyshev steps per halo exchange round
+    # Exact wet-cell NaN semantics on the fused Pallas path: by default a
+    # NaN at a WET cell stays NaN but its n_steps-neighborhood treats it as
+    # zero initial data (h-space mask elimination; the XLA engine is always
+    # exact). exact_nan=True streams the per-step mask through the kernel
+    # instead, reproducing the reference's re-scrub-every-step semantics at
+    # the cost of one extra coefficient stream (~10%).
+    exact_nan: bool = False
     # A user-built operator instead of a registry grid type — the
     # reference's "define your own Laplacian" extension path
     # (kernels.py:43-87, docs/how_to_contribute.rst). Two tiers:
@@ -202,10 +209,12 @@ class Filter:
                     use_pallas=self.use_pallas,
                     batch_axis=self.batch_axis,
                     halo_steps=self.halo_steps,
+                    exact_nan=self.exact_nan,
                 )
             else:
                 self._jitted_scalar = make_jitted_scalar_apply(
-                    self.operator, self.filter_spec, use_pallas=self.use_pallas
+                    self.operator, self.filter_spec,
+                    use_pallas=self.use_pallas, exact_nan=self.exact_nan,
                 )
         return self._jitted_scalar
 
@@ -231,6 +240,22 @@ class Filter:
 
     def _operator_name(self) -> str:
         return "custom_operator" if self.custom_operator is not None else str(self.grid_type)
+
+    @property
+    def grid_ds(self):
+        """The grid variables as a dataset (reference filter.py:393).
+
+        An ``xarray.Dataset`` when xarray is installed (the reference's
+        exact attribute type); otherwise a plain dict copy — xarray is an
+        optional dependency here.
+        """
+        xr = _maybe_xarray()
+        if xr is not None:
+            return xr.Dataset(
+                {k: (("y", "x"), np.asarray(v)) if np.ndim(v) == 2 else v
+                 for k, v in self.grid_vars.items()}
+            )
+        return dict(self.grid_vars)
 
     def _coerce(self, arr):
         x = jnp.asarray(arr)

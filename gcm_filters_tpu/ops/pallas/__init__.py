@@ -15,12 +15,12 @@ back to the XLA path.
 from __future__ import annotations
 
 
-def make_pallas_scalar_apply(stencil, spec):
+def make_pallas_scalar_apply(stencil, spec, exact_nan=False):
     try:
         from .dispatch import make_pallas_scalar_apply as _impl
     except ImportError:
         return None
-    return _impl(stencil, spec)
+    return _impl(stencil, spec, exact_nan=exact_nan)
 
 
 def make_pallas_vector_apply(operator, spec):

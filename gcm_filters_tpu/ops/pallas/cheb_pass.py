@@ -49,12 +49,28 @@ from jax.experimental.pallas import tpu as pltpu
 from ..stencil import ScalarStencil5
 
 # VMEM model budget (pipelined buffers + the ~6-window temp allowance in
-# _vmem_rows). Tuned on v5e: with the temp allowance the model overestimates,
-# so 16 MiB here admits the measured-fastest configs (e.g. br=48 single-pass
-# on the headline shape, +23% over br=24) while still rejecting the ones that
-# overflow physical VMEM at compile. The dispatcher additionally falls back
-# to XLA if a planned kernel fails to compile (dispatch.py).
+# _vmem_rows). 16 MiB is Mosaic's DEFAULT scoped-vmem cap; kept as the
+# conservative budget for code paths that don't lift it.
 _VMEM_BUDGET = 16 * 1024 * 1024
+
+# The v5e chip physically has 128 MB of VMEM; the pass kernels lift Mosaic's
+# cap via CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES). Sustained
+# (200-chain) round-2 measurements on the 2400x3600 headline:
+#   - light grids (<=3 ext streams): br=48 and br=96 are equal within noise
+#     (~110-120 G gps; the scalar kernel is VPU-bound, block size only moves
+#     the 1.3-1.5x trapezoid redundancy). Short-chain sweeps that showed
+#     150-200 G were tunnel dispatch-latency artifacts.
+#   - 5-coefficient grids (IRREGULAR/MOM5/POP): br=48+lift = 91 G beats
+#     both the old br=24@16MiB (82) and br=96+lift (58!) — too many live
+#     coefficient windows degrade Mosaic pipelining at large br, the same
+#     pattern as the vector kernels (C-grid taps peak at br=32).
+# So the scalar target is br=48 everywhere; the big VMEM-lift wins are the
+# coefficient-heavy paths (single-pass multi-coef scalar, taper multi-pass
+# 63->136 G, 3x C-grid / 1.7x B-grid in vec_pass.py). The dispatcher still
+# falls back to XLA if a planned kernel fails to compile (dispatch.py).
+_VMEM_BUDGET_WIDE = 96 * 1024 * 1024
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+_BR_TARGET_SCALAR = 48
 
 COEF_NAMES = ("c", "n", "s", "e", "w")
 # Reflection across the tripolar seam swaps the meaning of the neighbors.
@@ -105,14 +121,33 @@ def plan_passes(
     itemsize: int,
     max_fuse: int = 16,
 ) -> Optional[PassPlan]:
-    """Choose block rows and per-pass step counts under the VMEM budget."""
-    row_bytes = nx * itemsize
-    budget_rows = _VMEM_BUDGET // row_bytes
+    """Choose block rows and per-pass step counts under the VMEM budget.
 
-    # Candidate block heights: multiples of 8 dividing ny.
-    brs = [b for b in range(8, min(ny, 512) + 1, 8) if ny % b == 0]
+    Prefers ONE whole-recurrence pass (minimal HBM traffic: ~1 read + 1
+    write of the field total) at a block height near the measured sweet
+    spot, falling back to the stream/VPU cost model for multi-pass splits.
+    """
+    row_bytes = nx * itemsize
+    budget_rows = _VMEM_BUDGET_WIDE // row_bytes
+
+    # Candidate block heights: multiples of 8 dividing ny. Heavy-coefficient
+    # stencils cap the block height — many live coefficient windows degrade
+    # pipelining at large br (measured: 5-coef br=96 runs 0.64x of br=48).
+    br_cap = min(ny, 512 if n_coef < 4 else 64)
+    brs = [b for b in range(8, br_cap + 1, 8) if ny % b == 0]
     if not brs:
         return None
+
+    if n_steps <= max_fuse:
+        halo = -(-n_steps // 4) * 4  # sublane-aligned single-pass halo
+        cands = [
+            b for b in brs
+            if b >= halo and _vmem_rows(
+                b, halo, n_coef, has_post, single_pass=True) <= budget_rows
+        ]
+        if cands:
+            br = min(cands, key=lambda b: (abs(b - _BR_TARGET_SCALAR), -b))
+            return PassPlan(br=br, halo=halo, steps=(n_steps,))
 
     best = None
     for br in brs:
@@ -204,6 +239,11 @@ class _PassConfig:
     n_ops: int
     coef_names: Tuple[str, ...]  # which of c/n/s/e/w are arrays
     consts: Dict[str, float]  # the rest, as compile-time immediates
+    # Exact-NaN mode: keep the per-step pre-mask IN the kernel as one more
+    # extended coefficient stream (g = pre * nan_to_num(t)), reproducing the
+    # reference's re-scrub-every-step semantics for wet-cell NaNs instead of
+    # the h-space elimination. ~1 extra stream of cost; opt-in.
+    has_pre: bool
     has_post: bool
     zap: bool
     fold: bool
@@ -272,6 +312,7 @@ def _build_pass_call(cfg: _PassConfig):
         field_own_ref = refs.pop(0) if need_field_own else None
         mirrors = [refs.pop(0) for _ in range(cfg.n_fields)] if fold else []
         coef_refs = {k: refs.pop(0) for k in coef_names}
+        pre_ref = refs.pop(0) if cfg.has_pre else None
         post_ref = refs.pop(0) if has_post else None
         area_ref = refs.pop(0) if (fuse and cfg.has_area) else None
         if cfg.last_pass:
@@ -296,9 +337,13 @@ def _build_pass_call(cfg: _PassConfig):
             return consts[k]
 
         post = post_ref[0] if has_post else None
+        pre = pre_ref[0] if cfg.has_pre else None
 
         def lap(t):
-            g = jnp.nan_to_num(t) if zap else t
+            if cfg.has_pre:
+                g = pre * jnp.nan_to_num(t)
+            else:
+                g = jnp.nan_to_num(t) if zap else t
             gn = jnp.concatenate([g[1:, :], g[:1, :]], axis=0)
             gs = jnp.concatenate([g[-1:, :], g[:-1, :]], axis=0)
             ge = jnp.roll(g, -1, axis=-1)
@@ -391,7 +436,8 @@ def _build_pass_call(cfg: _PassConfig):
                          memory_space=pltpu.VMEM)
             for _ in range(cfg.n_fields)
         ]
-    n_ext = len(coef_names) + int(has_post) + int(fuse and cfg.has_area)
+    n_ext = (len(coef_names) + int(cfg.has_pre) + int(has_post)
+             + int(fuse and cfg.has_area))
     in_specs += [
         pl.BlockSpec((1, win, cfg.nx), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
@@ -417,6 +463,11 @@ def _build_pass_call(cfg: _PassConfig):
             * npdt.itemsize + n_arrays * nb * win * cfg.nx * npdt.itemsize,
             transcendentals=0,
         ),
+        # lift Mosaic's default 16 MiB scoped-vmem cap (the chip has 128 MB;
+        # the lift alone measured +33% on the headline at unchanged br, and
+        # enables the large single-pass blocks; ignored in interpret mode)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=jax.default_backend() != "tpu",
     )
 
@@ -448,11 +499,12 @@ def build_cheb_pass(
       middle     : (p[0..n_ops-1], coef_exts, t1, t2, acc)         -> (t1, t2, acc)
       last       : (p[0..n_ops-1], coef_exts, t1, t2, acc, field)  -> result
 
-    where all arrays are (ny, nx). ``stencil.pre`` must be None on the hot
-    stencil; ``drop_pre`` says the h-space trick applies, with ``stencil.post``
-    as the 0/1 wet mask and ``land_gain = chebval(-1, p)`` (see dispatch.py).
+    where all arrays are (ny, nx). ``stencil.pre`` is either None (h-space
+    mode: ``drop_pre`` says the elimination applies, with ``stencil.post`` as
+    the 0/1 wet mask and ``land_gain = chebval(-1, p)``, see dispatch.py) or
+    kept as an in-kernel per-step mask stream (exact-NaN mode).
     """
-    assert stencil.pre is None
+    assert stencil.pre is None or not drop_pre
     br, halo = plan.br, plan.halo
     assert n_ops <= halo and halo <= br and ny % br == 0
 
@@ -463,6 +515,7 @@ def build_cheb_pass(
         coef_names=coef_names,
         consts={k: float(getattr(stencil, k)) for k in COEF_NAMES
                 if k not in coef_names},
+        has_pre=stencil.pre is not None,
         has_post=stencil.post is not None,
         zap=stencil.zap_nans,
         fold=fold,
@@ -528,6 +581,9 @@ def host_ext_inputs(
         )
         for k in _coef_arrays(stencil)
     ]
+    if stencil.pre is not None:
+        pre = np.asarray(stencil.pre, dtype=npdt)  # pre is NOT scaled
+        out.append(ext_blocks_np(pre, br, halo, fold, pre))
     if stencil.post is not None:
         post = np.asarray(stencil.post, dtype=npdt)  # post is NOT scaled
         out.append(ext_blocks_np(post, br, halo, fold, post))
@@ -551,6 +607,7 @@ def build_local_pass(
     lap_scale: float,
     first_pass: bool,
     last_pass: bool,
+    has_pre: bool = False,
 ):
     """Build the per-shard inner pass for the shard_map engine.
 
@@ -570,6 +627,7 @@ def build_local_pass(
         ny=ny, nx=nx, br=br, halo=halo, n_ops=n_ops,
         coef_names=tuple(coef_names),
         consts=dict(consts),
+        has_pre=has_pre,
         has_post=has_post,
         zap=zap,
         fold=False,

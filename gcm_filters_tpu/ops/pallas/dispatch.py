@@ -115,11 +115,19 @@ def _cast_arrays(arrays, dtype):
     return out
 
 
-def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
+def make_pallas_scalar_apply(
+    stencil: ScalarStencil5, spec: FilterSpec, exact_nan: bool = False
+):
     """``field -> filtered`` using the fused pass kernels when possible.
 
     Manages its own jit (per shape/dtype); do not wrap in another jax.jit —
     that would re-trace the host-side kernel construction with tracers.
+
+    ``exact_nan=True`` disables the h-space mask elimination and streams the
+    per-step pre-mask through the kernel instead, reproducing the
+    reference's re-scrub-every-step semantics for wet-cell NaNs exactly
+    (one extra coefficient stream; see the module docstring for the default
+    deviation this removes).
     """
     from ...engine import scalar_filter_apply
 
@@ -127,9 +135,7 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
 
     from ..stencil import hspace_drop_pre
 
-    drop_pre = hspace_drop_pre(stencil)
-    if stencil.pre is not None and not drop_pre:
-        return None  # unsupported masking pattern: XLA path handles it
+    drop_pre = hspace_drop_pre(stencil) and not exact_nan
     land_gain = float(np.polynomial.chebyshev.chebval(-1.0, p_host))
 
     hot_host = (
@@ -146,8 +152,10 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
             ny,
             nx,
             n_steps=spec.n_steps,
+            # area (and, in exact-NaN mode, pre) ride the ext layout too
             n_coef=len(_coef_arrays(hot_host))
-            + int(hot_host.area is not None),  # area rides the ext layout too
+            + int(hot_host.area is not None)
+            + int(hot_host.pre is not None),
             has_post=hot_host.post is not None,
             itemsize=np.dtype(dtype).itemsize,
         )
@@ -206,7 +214,8 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
             if k not in host_coef_names
         }
         padded_plan = _plan_local_pallas(
-            ny, nx, spec.n_steps, len(host_coef_names),
+            ny, nx, spec.n_steps,
+            len(host_coef_names) + int(hot_host.pre is not None),
             hot_host.post is not None, np.dtype(dtype).itemsize, None,
         )
         if padded_plan is not None:
@@ -234,7 +243,10 @@ def make_pallas_scalar_apply(stencil: ScalarStencil5, spec: FilterSpec):
                 if drop_pre
                 else st
             )
-            step = build_cheb_step(hot, scale, ny, nx, dtype)
+            # the 1-step kernel has no pre-mask stream; exact-NaN masked
+            # configs fall through to the XLA engine here
+            step = (None if hot.pre is not None
+                    else build_cheb_step(hot, scale, ny, nx, dtype))
             if step is None:
                 return scalar_filter_apply(st, spec, field)
             p = jnp.asarray(p_host, dtype=dtype)

@@ -13,11 +13,18 @@ two operators supply only their contraction body:
     stencil from ops/ctaps.py (18 arrays) — the two-stage strain/divergence
     form collapsed into a single reach-1 contraction.
 
-Coefficient convention (same as the scalar pass): all coefficient arrays are
-pre-scaled by ``-2*lap_scale`` by the host_* builders, so the recurrence is
+Coefficient convention: all coefficient arrays are pre-scaled by
+``-2*lap_scale`` by the host_* builders, and the CENTER coefficient of each
+same-component contraction additionally absorbs the recurrence's ``-2*t``
+term (``cc`` for the B-grid diffusion set, ``CU_c``/``CV_c`` for the taps):
 
-    lap'(t) = sum(X' * t_X),   A t = -t + 0.5*lap'(t),
-    t_next = -2*t + lap'(t) - t_prev.
+    lapF(t) = sum(X'' * t_X),  X'' = -2*lap_scale*X  (center: ... - 2),
+    A t     = 0.5 * lapF(t)          [since -t + 0.5*lap' = 0.5*(lap' - 2t)]
+    t_next  = lapF(t) - t_prev.
+
+This removes one multiply-add per component per cell per step from the
+VPU-bound hot loop (exact algebra; no post mask exists on vector grids, so
+the fold cannot interact with masking).
 
 Both operators are doubly periodic with no land mask (parity with the
 reference); NaNs are scrubbed per step inside the window, matching the
@@ -35,35 +42,87 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ctaps import CTAPS
 from ..stencil import BGridVectorStencil
-from .cheb_pass import _VMEM_BUDGET, PassPlan, ext_blocks_np
+from .cheb_pass import (
+    _VMEM_BUDGET_WIDE,
+    _VMEM_LIMIT_BYTES,
+    PassPlan,
+    ext_blocks_np,
+)
 
 # B-grid: diffusion set (applied to each component) and mixing set (u<->v).
 _DIFF = ("cc", "dun", "dus", "due", "duw")
 _MIX = ("dmc", "dmn", "dms", "dme", "dmw")
 _CTAP_NAMES = tuple(name for name, *_ in CTAPS)
+# Center coefficients that absorb the recurrence's -2*t term (see module
+# docstring): one per same-component contraction.
+CENTER_FOLD = ("cc", "CU_c", "CV_c")
+
+
+# Wide-VMEM notes: see cheb_pass.py (_VMEM_BUDGET_WIDE / _VMEM_LIMIT_BYTES;
+# 96 MB admits the measured-fastest coupled configs — br=32 single-pass
+# C-grid is a ~59 MB model footprint — while rejecting ones that overflow
+# the chip: br=96 h=8 is ~191 MB and failed to compile at a 100 MB limit).
+
+# Measured single-pass block-height sweet spots (2400x3600 f32, n_steps=11,
+# one v5e; benchmarks/README.md): C-grid taps peak at br=32 (54.1 G gps vs
+# 50.5 at br=48, 47.6 at br=40), the lighter B-grid at br=40 (65.6 G vs 62.2
+# at br=32, 58.7 at br=48). Bigger blocks stream fewer redundant coefficient
+# rows but degrade Mosaic's pipelining under VMEM pressure, so the planner
+# aims for the sweet spot rather than maximizing br.
+_BR_TARGET_CTAP = 32
+_BR_TARGET_VEC = 40
+_BR_MAX = 48
+
+
+def _coupled_rows(br: int, halo: int, n_ext: int, temps: int) -> int:
+    """VMEM footprint model in nx-row units (double-buffered blocked streams
+    of the stacked pair + extended coefficient streams + live temps)."""
+    win = br + 2 * halo
+    return 2 * 10 * (2 * br) + 2 * n_ext * win + temps * win
 
 
 def _plan_coupled(
     ny: int, nx: int, n_steps: int, itemsize: int,
-    n_ext: int, temps: int, margin: int, max_fuse: int = 16,
+    n_ext: int, temps: int, margin: int, br_target: int,
+    max_fuse: int = 16,
 ) -> Optional[PassPlan]:
     """Block rows + pass split for a coupled pass with ``n_ext`` coefficient
-    streams and ~``temps`` live stacked/plane window temporaries."""
-    budget_rows = (_VMEM_BUDGET - margin) // (nx * itemsize)
-    brs = [b for b in range(8, min(ny, 256) + 1, 8) if ny % b == 0]
+    streams and ~``temps`` live stacked/plane window temporaries.
+
+    Strategy (validated on-chip, see benchmarks/README.md): these kernels
+    are dominated by coefficient streaming, so FEWER PASSES beats smaller
+    halos — prefer one whole-recurrence pass at the measured br sweet spot,
+    falling back to balanced multi-pass splits only when the single-pass
+    window exceeds the wide-VMEM budget.
+    """
+    budget_rows = (_VMEM_BUDGET_WIDE - margin) // (nx * itemsize)
+    brs = [b for b in range(8, min(ny, _BR_MAX) + 1, 8) if ny % b == 0]
+    if not brs:
+        return None
+
+    def aligned_halo(h):
+        return -(-h // 4) * 4  # window heights stay sublane-aligned
+
+    # 1. single pass at the br closest to the sweet spot (largest first on
+    #    ties: fewer redundant rows).
+    if n_steps <= max_fuse:
+        halo = aligned_halo(n_steps)
+        cands = [b for b in brs if b >= halo and _coupled_rows(
+            b, halo, n_ext, temps) <= budget_rows]
+        if cands:
+            br = min(cands, key=lambda b: (abs(b - br_target), -b))
+            return PassPlan(br=br, halo=halo, steps=(n_steps,))
+
+    # 2. multi-pass: minimize total streams under the budget.
     best = None
     for br in brs:
         h = min(max_fuse, n_steps, br)
-
-        def rows(hh):
-            win = br + 2 * hh
-            return 2 * 10 * (2 * br) + 2 * n_ext * win + temps * win
-
-        while h >= 1 and rows(h) > budget_rows:
+        while h >= 1 and _coupled_rows(
+                br, aligned_halo(h), n_ext, temps) > budget_rows:
             h -= 1
         if h < 1:
             continue
-        ext = n_ext * (1.0 + 2.0 * h / br)
+        ext = n_ext * (1.0 + 2.0 * aligned_halo(h) / br)
         n_pass = -(-n_steps // h)
         # stacked-field streams per pass: 12 reads + 2 acc + 6 writes
         streams = n_pass * (14 + ext + 6) - 4
@@ -75,23 +134,22 @@ def _plan_coupled(
     n_pass = -(-n_steps // h)
     base, extra = divmod(n_steps, n_pass)
     steps = tuple(base + (1 if i < extra else 0) for i in range(n_pass))
-    # Keep the window height br+2*halo a multiple of 8 (sublane tile):
-    # unaligned windows measured ~1.5x slower on v5e.
-    halo = min(br, -(-max(steps) // 4) * 4)
+    halo = min(br, aligned_halo(max(steps)))
     return PassPlan(br=br, halo=halo, steps=steps)
 
 
 def plan_vec_passes(ny, nx, n_steps, itemsize, max_fuse=16) -> Optional[PassPlan]:
     return _plan_coupled(ny, nx, n_steps, itemsize,
-                         n_ext=10, temps=12, margin=0, max_fuse=max_fuse)
+                         n_ext=10, temps=12, margin=0,
+                         br_target=_BR_TARGET_VEC, max_fuse=max_fuse)
 
 
 def plan_ctap_passes(ny, nx, n_steps, itemsize, max_fuse=16) -> Optional[PassPlan]:
-    # 18 live coefficient windows leave less slack than the B-grid kernel; a
-    # 1 MiB margin keeps Mosaic's scoped-vmem stack under the 16 MiB limit
-    # (observed 128 KiB overflow at the model's edge without it).
+    # 18 live coefficient windows leave less slack than the B-grid kernel;
+    # keep a margin under the wide budget for Mosaic's own scratch.
     return _plan_coupled(ny, nx, n_steps, itemsize,
-                         n_ext=18, temps=14, margin=1 << 20, max_fuse=max_fuse)
+                         n_ext=18, temps=14, margin=1 << 20,
+                         br_target=_BR_TARGET_CTAP, max_fuse=max_fuse)
 
 
 def host_vec_ext_inputs(
@@ -102,8 +160,10 @@ def host_vec_ext_inputs(
     npdt = np.dtype(dtype)
     neg2s = npdt.type(-2.0 * lap_scale)
     return [
-        ext_blocks_np(np.asarray(getattr(op, k), dtype=npdt) * neg2s,
-                      plan.br, plan.halo)
+        ext_blocks_np(
+            np.asarray(getattr(op, k), dtype=npdt) * neg2s
+            - (npdt.type(2.0) if k in CENTER_FOLD else npdt.type(0.0)),
+            plan.br, plan.halo)
         for k in (*_DIFF, *_MIX)
     ]
 
@@ -114,8 +174,10 @@ def host_ctap_ext_inputs(taps, plan: PassPlan, dtype, lap_scale: float):
     npdt = np.dtype(dtype)
     neg2s = npdt.type(-2.0 * lap_scale)
     return [
-        ext_blocks_np(np.asarray(taps[name], dtype=npdt) * neg2s,
-                      plan.br, plan.halo)
+        ext_blocks_np(
+            np.asarray(taps[name], dtype=npdt) * neg2s
+            - (npdt.type(2.0) if name in CENTER_FOLD else npdt.type(0.0)),
+            plan.br, plan.halo)
         for name in _CTAP_NAMES
     ]
 
@@ -218,7 +280,8 @@ def _build_coupled_pass(
         own = slice(halo, halo + br)
         if first_pass:
             prev = window(f_views[0])
-            cur = -prev + half * lap(prev)
+            # center fold: A t = 0.5 * lapF(t) exactly (module docstring)
+            cur = half * lap(prev)
             acc = p_ref[0, 0] * prev[:, own] + p_ref[0, 1] * cur[:, own]
             p_off = 2
         else:
@@ -229,7 +292,7 @@ def _build_coupled_pass(
 
         n_rec = n_ops - 1 if first_pass else n_ops
         for j in range(n_rec):
-            nxt = -2.0 * cur + lap(cur) - prev
+            nxt = lap(cur) - prev  # -2*t lives in the center coefficient
             acc = acc + p_ref[0, p_off + j] * nxt[:, own]
             prev, cur = cur, nxt
 
@@ -273,6 +336,11 @@ def _build_coupled_pass(
             * npdt.itemsize + len(coef_names) * nb * win * nx * npdt.itemsize,
             transcendentals=0,
         ),
+        # lift Mosaic's default 16 MiB scoped-vmem cap: the fast configs
+        # (single whole-recurrence pass) legitimately use ~60 MB of the
+        # chip's 128 MB VMEM (ignored in interpret mode)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=jax.default_backend() != "tpu",
     )
 

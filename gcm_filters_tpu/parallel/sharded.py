@@ -165,7 +165,11 @@ def _plan_local_pallas(ly, lx, n_steps, n_coef, has_post, itemsize, halo_steps):
     windows just overlap further into the local domain, which is safe).
     ``br`` is capped near the extended row count so padding stays bounded.
     """
-    from ..ops.pallas.cheb_pass import _vmem_rows, _VMEM_BUDGET
+    from ..ops.pallas.cheb_pass import (
+        _BR_TARGET_SCALAR,
+        _VMEM_BUDGET_WIDE,
+        _vmem_rows,
+    )
 
     k_max = min(halo_steps or 16, n_steps, max(1, min(ly, lx) // 2))
     for k in range(k_max, 0, -1):
@@ -174,15 +178,18 @@ def _plan_local_pallas(ly, lx, n_steps, n_coef, has_post, itemsize, halo_steps):
         halo = -(-cells // 4) * 4  # sublane-aligned window height
         cols_e = lx + 2 * cells
         rows_e = ly + 2 * cells
-        budget_rows = _VMEM_BUDGET // (cols_e * itemsize)
-        br = None
+        budget_rows = _VMEM_BUDGET_WIDE // (cols_e * itemsize)
+        cands = []
         cand = max(8, 8 * ((halo + 7) // 8))  # kernel needs halo <= br
         cap = min(512, 8 * ((rows_e + 7) // 8))
-        while cand <= cap and _vmem_rows(cand, halo, n_coef, has_post) <= budget_rows:
-            br = cand
+        while cand <= cap:
+            if _vmem_rows(cand, halo, n_coef, has_post) <= budget_rows:
+                cands.append(cand)
             cand += 8
-        if br is None:
+        if not cands:
             continue
+        # aim near the measured sweet spot rather than maximizing br
+        br = min(cands, key=lambda b: (abs(b - _BR_TARGET_SCALAR), -b))
         rows_p = -(-rows_e // br) * br
         return cells, min(br, halo), br, rows_p, steps
     return None
@@ -221,8 +228,9 @@ def local_pallas_rounds_scalar(
     dtype = field.dtype
     ly, lx = field.shape[-2:]
     has_post = st.post is not None
+    keep_pre = st.pre is not None and not drop_pre  # exact-NaN mode
     planned = _plan_local_pallas(
-        ly, lx, n_steps, len(host_coef_names), has_post,
+        ly, lx, n_steps, len(host_coef_names) + int(keep_pre), has_post,
         np.dtype(dtype).itemsize, halo_steps,
     )
     if planned is None:
@@ -251,6 +259,10 @@ def local_pallas_rounds_scalar(
         )
         for k in host_coef_names
     ]
+    if keep_pre:
+        coef_exts.append(
+            ext_blocks_jnp(pad(ext_st.pre).astype(dtype), br, khalo)
+        )
     if has_post:
         coef_exts.append(
             ext_blocks_jnp(pad(ext_st.post).astype(dtype), br, khalo)
@@ -273,6 +285,7 @@ def local_pallas_rounds_scalar(
             host_coef_names, host_consts, has_post,
             zap=(False if drop_pre else st.zap_nans),
             lap_scale=lap_scale, first_pass=first, last_pass=last,
+            has_pre=keep_pre,
         )
         if first:
             ext = pad(halo.exchange_2d(h, cells, y_axis, x_axis, fold))
@@ -306,6 +319,7 @@ def make_sharded_scalar_apply(
     use_pallas: Optional[bool] = None,
     batch_axis: Optional[str] = None,
     halo_steps: Optional[int] = None,
+    exact_nan: bool = False,
 ):
     """Compile ``field -> filtered`` with the domain sharded over ``mesh``.
 
@@ -336,8 +350,10 @@ def make_sharded_scalar_apply(
 
     from ..ops.stencil import hspace_drop_pre
 
-    drop_pre = hspace_drop_pre(stencil)
-    pallas_eligible = stencil.pre is None or drop_pre
+    drop_pre = hspace_drop_pre(stencil) and not exact_nan
+    # pre is either h-space eliminated or streamed through the kernel
+    # (exact-NaN mode), so every masking pattern is Pallas-eligible
+    pallas_eligible = True
     land_gain = float(np.polynomial.chebyshev.chebval(-1.0, p_host))
 
     def _pallas_on(dtype) -> bool:
@@ -401,9 +417,11 @@ def make_sharded_scalar_apply(
     def _local(st: ScalarStencil5, field: Array) -> Array:
         if _pallas_on(field.dtype):
             # static feasibility check (same planner call as inside)
+            keep_pre = stencil.pre is not None and not drop_pre
             feasible = _plan_local_pallas(
                 field.shape[-2], field.shape[-1], spec.n_steps,
-                len(host_coef_names), stencil.post is not None,
+                len(host_coef_names) + int(keep_pre),
+                stencil.post is not None,
                 np.dtype(field.dtype).itemsize, halo_steps,
             )
             if feasible is not None:
@@ -475,8 +493,17 @@ def make_sharded_scalar_apply(
 
 def _plan_local_coupled(ly, lx, n_steps, n_ext, itemsize, halo_steps):
     """(cells, halo, br, rows_p, steps) for the per-shard coupled pass
-    (same conventions as :func:`_plan_local_pallas`)."""
-    from ..ops.pallas.cheb_pass import _VMEM_BUDGET
+    (same conventions as :func:`_plan_local_pallas`).
+
+    Uses the wide VMEM budget (the coupled pass builders lift Mosaic's
+    scoped-vmem cap, ops/pallas/vec_pass.py) and aims br at the measured
+    sweet spot instead of growing it to the cap."""
+    from ..ops.pallas.vec_pass import (
+        _BR_MAX,
+        _BR_TARGET_CTAP,
+        _VMEM_BUDGET_WIDE,
+        _coupled_rows,
+    )
 
     k_max = min(halo_steps or 16, n_steps, max(1, min(ly, lx) // 2))
     for k in range(k_max, 0, -1):
@@ -485,18 +512,17 @@ def _plan_local_coupled(ly, lx, n_steps, n_ext, itemsize, halo_steps):
         halo = -(-cells // 4) * 4
         cols_e = lx + 2 * cells
         rows_e = ly + 2 * cells
-        budget_rows = (_VMEM_BUDGET - (1 << 20)) // (cols_e * itemsize)
-        br = None
+        budget_rows = (_VMEM_BUDGET_WIDE - (1 << 20)) // (cols_e * itemsize)
+        cands = []
         cand = max(8, 8 * ((halo + 7) // 8))
-        cap = min(256, 8 * ((rows_e + 7) // 8))
+        cap = min(_BR_MAX, 8 * ((rows_e + 7) // 8))
         while cand <= cap:
-            win = cand + 2 * halo
-            if 2 * 10 * (2 * cand) + 2 * n_ext * win + 14 * win > budget_rows:
-                break
-            br = cand
+            if _coupled_rows(cand, halo, n_ext, 14) <= budget_rows:
+                cands.append(cand)
             cand += 8
-        if br is None:
+        if not cands:
             continue
+        br = min(cands, key=lambda b: (abs(b - _BR_TARGET_CTAP), -b))
         rows_p = -(-rows_e // br) * br
         return cells, min(br, halo), br, rows_p, steps
     return None
@@ -590,14 +616,22 @@ def make_sharded_vector_apply(
             cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
             return jnp.pad(a, cfgpad) if pad_rows else a
 
+        from ..ops.pallas.vec_pass import CENTER_FOLD
+
         ext_op = _extend_vector_operator(op, cells, y_axis, x_axis)
-        neg2s = np.dtype(dtype).type(-2.0 * lap_scale)
+        npdt = np.dtype(dtype)
+        neg2s = npdt.type(-2.0 * lap_scale)
         if is_ctap:
             coef_src = {k: ext_op[k] for k in _coef_keys}
         else:
             coef_src = {k: getattr(ext_op, k) for k in _coef_keys}
+        # center coefficients absorb the recurrence's -2*t (vec_pass
+        # docstring): same fold as the host ext builders
         coef_exts = [
-            ext_blocks_jnp(pad(coef_src[k]).astype(dtype) * neg2s, br, khalo)
+            ext_blocks_jnp(
+                pad(coef_src[k]).astype(dtype) * neg2s
+                - (npdt.type(2.0) if k in CENTER_FOLD else npdt.type(0.0)),
+                br, khalo)
             for k in _coef_keys
         ]
 

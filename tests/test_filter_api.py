@@ -442,3 +442,21 @@ def test_dict_apply_named_dims():
     batched = rng.random((3, 32, 32))
     res = filt.apply({"f": (batched, ("t", "y", "x"))}, dims=("y", "x"))
     assert np.asarray(res["f"]).shape == batched.shape
+
+
+def test_grid_ds_attribute():
+    """The reference exposes the grid variables as `filter.grid_ds`
+    (reference filter.py:393); here it is an xarray Dataset when xarray is
+    installed, else a plain dict copy."""
+    wet = np.ones((16, 16)); wet[0] = 0
+    filt = Filter(filter_scale=4.0, dx_min=1.0,
+                  grid_type=GridType.REGULAR_WITH_LAND,
+                  grid_vars={"wet_mask": wet})
+    ds = filt.grid_ds
+    try:
+        import xarray as xr
+        assert isinstance(ds, xr.Dataset)
+        np.testing.assert_array_equal(ds["wet_mask"].values, wet)
+    except ImportError:
+        assert isinstance(ds, dict)
+        np.testing.assert_array_equal(np.asarray(ds["wet_mask"]), wet)
