@@ -165,11 +165,13 @@ def _plan_local_pallas(ly, lx, n_steps, n_coef, has_post, itemsize, halo_steps):
     windows just overlap further into the local domain, which is safe).
     ``br`` is capped near the extended row count so padding stays bounded.
     """
-    from ..ops.pallas.cheb_pass import (
-        _BR_TARGET_SCALAR,
-        _VMEM_BUDGET_WIDE,
-        _vmem_rows,
-    )
+    from ..ops.pallas.cheb_pass import _VMEM_BUDGET_WIDE, _vmem_rows
+
+    # Local-path block target: 1x1-mesh measurements drift too much
+    # session-to-session (3.2-4.8x overhead on identical code) to resolve
+    # br=48 vs 96; 96 kept (it matches the configuration the round-2
+    # benchmark record was taken with).
+    br_target = 96
 
     k_max = min(halo_steps or 16, n_steps, max(1, min(ly, lx) // 2))
     for k in range(k_max, 0, -1):
@@ -189,10 +191,71 @@ def _plan_local_pallas(ly, lx, n_steps, n_coef, has_post, itemsize, halo_steps):
         if not cands:
             continue
         # aim near the measured sweet spot rather than maximizing br
-        br = min(cands, key=lambda b: (abs(b - _BR_TARGET_SCALAR), -b))
+        br = min(cands, key=lambda b: (abs(b - br_target), -b))
         rows_p = -(-rows_e // br) * br
         return cells, min(br, halo), br, rows_p, steps
     return None
+
+
+def local_scalar_coef_exts(
+    st: ScalarStencil5,
+    ly: int,
+    lx: int,
+    dtype,
+    n_steps: int,
+    lap_scale: float,
+    drop_pre: bool,
+    host_coef_names,
+    y_axis,
+    x_axis,
+    halo_steps: Optional[int],
+):
+    """The per-shard extended-layout coefficient blocks for the local pass.
+
+    These depend only on the stencil, local shape, dtype and plan — NOT on
+    the field — so the sharded engine computes them once per (shape, dtype)
+    (one shard_map'd prepare call, cached eagerly) instead of re-extending
+    and re-gathering every coefficient array on every apply, which was the
+    bulk of the sharded-on-1x1-mesh overhead (benchmarks/README.md).
+    """
+    from ..ops.pallas.cheb_pass import ext_blocks_jnp
+
+    has_post = st.post is not None
+    keep_pre = st.pre is not None and not drop_pre  # exact-NaN mode
+    planned = _plan_local_pallas(
+        ly, lx, n_steps, len(host_coef_names) + int(keep_pre), has_post,
+        np.dtype(dtype).itemsize, halo_steps,
+    )
+    if planned is None:
+        return None
+    cells, khalo, br, rows_p, _ = planned
+    pad_rows = rows_p - (ly + 2 * cells)
+
+    hot = dataclasses.replace(st, pre=None) if drop_pre else st
+    ext_st = _extend_scalar_stencil(hot, cells, y_axis, x_axis)
+
+    def pad(a):
+        cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
+        return jnp.pad(a, cfgpad) if pad_rows else a
+
+    # Array coefficients are pre-scaled by -2*lap_scale (the pass kernel's
+    # coefficient convention; pre/post are NOT scaled).
+    neg2s = np.dtype(dtype).type(-2.0 * lap_scale)
+    coef_exts = [
+        ext_blocks_jnp(
+            pad(getattr(ext_st, k)).astype(dtype) * neg2s, br, khalo
+        )
+        for k in host_coef_names
+    ]
+    if keep_pre:
+        coef_exts.append(
+            ext_blocks_jnp(pad(ext_st.pre).astype(dtype), br, khalo)
+        )
+    if has_post:
+        coef_exts.append(
+            ext_blocks_jnp(pad(ext_st.post).astype(dtype), br, khalo)
+        )
+    return tuple(coef_exts)
 
 
 def local_pallas_rounds_scalar(
@@ -208,6 +271,7 @@ def local_pallas_rounds_scalar(
     y_axis,
     x_axis,
     halo_steps: Optional[int],
+    coef_exts=None,
 ) -> Optional[Array]:
     """Wide-halo rounds with the temporally blocked Pallas pass as compute.
 
@@ -239,33 +303,16 @@ def local_pallas_rounds_scalar(
     cols_e = lx + 2 * cells
     pad_rows = rows_p - (ly + 2 * cells)
 
-    # Extended + padded coefficient arrays, gathered to the kernel's
-    # (nb, br+2k, cols_e) layout once per apply. Padding goes on the
-    # north side, beyond the halo zone, where values are never read
-    # while valid.
-    hot = dataclasses.replace(st, pre=None) if drop_pre else st
-    ext_st = _extend_scalar_stencil(hot, cells, y_axis, x_axis)
-
     def pad(a):
         cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
         return jnp.pad(a, cfgpad) if pad_rows else a
 
-    # Array coefficients are pre-scaled by -2*lap_scale (the pass
-    # kernel's coefficient convention; post is NOT scaled).
-    neg2s = np.dtype(dtype).type(-2.0 * lap_scale)
-    coef_exts = [
-        ext_blocks_jnp(
-            pad(getattr(ext_st, k)).astype(dtype) * neg2s, br, khalo
-        )
-        for k in host_coef_names
-    ]
-    if keep_pre:
-        coef_exts.append(
-            ext_blocks_jnp(pad(ext_st.pre).astype(dtype), br, khalo)
-        )
-    if has_post:
-        coef_exts.append(
-            ext_blocks_jnp(pad(ext_st.post).astype(dtype), br, khalo)
+    if coef_exts is None:
+        # build in-trace (single-device pad-to-block path; the sharded
+        # engine passes cached prepared blocks instead)
+        coef_exts = local_scalar_coef_exts(
+            st, ly, lx, dtype, n_steps, lap_scale, drop_pre,
+            host_coef_names, y_axis, x_axis, halo_steps,
         )
 
     fold = st.fold_north
@@ -408,44 +455,89 @@ def make_sharded_scalar_apply(
 
         return st.finalize(acc)
 
-    def _local_pallas_2d(st: ScalarStencil5, field: Array) -> Optional[Array]:
-        return local_pallas_rounds_scalar(
-            st, field, p_host, spec.n_steps, lap_scale, drop_pre, land_gain,
-            host_coef_names, host_consts, y_axis, x_axis, halo_steps,
+    # Two compiled paths. The Pallas path takes the PREPARED per-shard
+    # extended coefficient blocks as extra sharded arguments — they are
+    # static per (stencil, shape, dtype), so they are computed once by a
+    # separate shard_map'd prepare call and cached eagerly on device
+    # (re-extending + re-gathering every coefficient per apply was the bulk
+    # of the sharded overhead, benchmarks/README.md).
+    keep_pre = stencil.pre is not None and not drop_pre
+    n_exts = (len(host_coef_names) + int(keep_pre)
+              + int(stencil.post is not None))
+    ext_spec = P(yax, None, xax)
+
+    def _feasible(ly, lx, dtype):
+        return _plan_local_pallas(
+            ly, lx, spec.n_steps, len(host_coef_names) + int(keep_pre),
+            stencil.post is not None, np.dtype(dtype).itemsize, halo_steps,
         )
 
-    def _local(st: ScalarStencil5, field: Array) -> Array:
-        if _pallas_on(field.dtype):
-            # static feasibility check (same planner call as inside)
-            keep_pre = stencil.pre is not None and not drop_pre
-            feasible = _plan_local_pallas(
-                field.shape[-2], field.shape[-1], spec.n_steps,
-                len(host_coef_names) + int(keep_pre),
-                stencil.post is not None,
-                np.dtype(field.dtype).itemsize, halo_steps,
-            )
-            if feasible is not None:
-                fn = lambda f: _local_pallas_2d(st, f)
-                return jax.vmap(fn)(field) if field.ndim == 3 else fn(field)
-        return _local_xla(st, field)
+    # On an actually-distributed mesh the prepared exts remove the
+    # per-apply coefficient halo COLLECTIVES; on a 1x1/unsharded-spatial
+    # mesh the in-trace build is faster (XLA fuses it and lays the blocks
+    # out for the Pallas call; measured 2.7 vs 4.7 ms on the headline).
+    _distributed = y_axis[1] > 1 or x_axis[1] > 1
 
-    sharded = shard_map(
-        _local,
-        mesh=mesh,
-        in_specs=(op_specs, field_spec),
-        out_specs=field_spec,
-        check_vma=False,
-    )
+    def _local_pallas(st: ScalarStencil5, field: Array, *coef_exts) -> Array:
+        fn = lambda f: local_pallas_rounds_scalar(
+            st, f, p_host, spec.n_steps, lap_scale, drop_pre, land_gain,
+            host_coef_names, host_consts, y_axis, x_axis, halo_steps,
+            coef_exts=coef_exts if coef_exts else None,
+        )
+        return jax.vmap(fn)(field) if field.ndim == 3 else fn(field)
+
+    _pl_jit = {}
+
+    def _pallas_jitted():
+        key = "dist" if _distributed else "inline"
+        if key not in _pl_jit:
+            if _distributed:
+                fn = shard_map(
+                    _local_pallas,
+                    mesh=mesh,
+                    in_specs=(op_specs, field_spec) + (ext_spec,) * n_exts,
+                    out_specs=field_spec,
+                    check_vma=False,
+                )
+            else:
+                fn = shard_map(
+                    lambda st, f: _local_pallas(st, f),
+                    mesh=mesh,
+                    in_specs=(op_specs, field_spec),
+                    out_specs=field_spec,
+                    check_vma=False,
+                )
+            _pl_jit[key] = jax.jit(fn)
+        return _pl_jit[key]
+
+    _ext_cache = {}
+
+    def _exts_for(ly, lx, dtype, st):
+        key = (ly, lx, str(dtype))
+        if key not in _ext_cache:
+            prep = shard_map(
+                lambda s: local_scalar_coef_exts(
+                    s, ly, lx, dtype, spec.n_steps, lap_scale, drop_pre,
+                    host_coef_names, y_axis, x_axis, halo_steps,
+                ),
+                mesh=mesh,
+                in_specs=(op_specs,),
+                out_specs=(ext_spec,) * n_exts,
+                check_vma=False,
+            )
+            exts = jax.jit(prep)(st)
+            jax.block_until_ready(exts)
+            _ext_cache[key] = exts
+        return _ext_cache[key]
 
     # The stencil enters as a jit argument (constants would be serialized
     # into the compile payload), converted to device arrays ONCE PER COMPUTE
     # DTYPE — passing host numpy would re-transfer every coefficient on every
     # call, and leaving f64 coefficients against f32 fields would promote the
     # whole pipeline (and crash the Pallas kernels' f32 out_shapes).
-    jitted = jax.jit(sharded)
     op_for = _operator_dtype_cache(stencil)
 
-    _primary = [jitted]
+    _primary = [True]  # True = auto; a callable = injected; None = pinned
 
     def apply_fn(field):
         arr, restore = _normalize(field)
@@ -455,9 +547,18 @@ def make_sharded_scalar_apply(
         if arr.dtype != dtype:
             arr = arr.astype(dtype)
         st = op_for(dtype)
-        if _primary[0] is not None:
+        ly = arr.shape[-2] // y_axis[1]
+        lx = arr.shape[-1] // x_axis[1]
+        use_pl = (
+            _primary[0] is not None
+            and _pallas_on(dtype)
+            and _feasible(ly, lx, dtype) is not None
+        )
+        if use_pl:
             try:
-                return restore(_primary[0](st, arr))
+                exts = _exts_for(ly, lx, dtype, st) if _distributed else ()
+                fn = _primary[0] if callable(_primary[0]) else _pallas_jitted()
+                return restore(fn(st, arr, *exts))
             except jax.errors.JaxRuntimeError:
                 # VMEM planning is a model, not ground truth: if the local
                 # Pallas kernel fails to compile on this chip, pin this
@@ -593,13 +694,48 @@ def make_sharded_vector_apply(
         except Exception:
             return False
 
-    def _local_pallas_2d(op, u: Array, v: Array):
+    def _local_coef_exts(op, ly, lx, dtype):
+        """Per-shard extended coefficient blocks (static per shape/dtype;
+        computed once by the prepare shard_map and cached — the 10-18
+        gathered tap/coefficient streams dominated the per-apply overhead)."""
+        from ..ops.pallas.cheb_pass import ext_blocks_jnp
+        from ..ops.pallas.vec_pass import CENTER_FOLD
+
+        planned = _plan_local_coupled(
+            ly, lx, spec.n_steps, len(_coef_keys),
+            np.dtype(dtype).itemsize, halo_steps,
+        )
+        cells, khalo, br, rows_p, _ = planned
+        pad_rows = rows_p - (ly + 2 * cells)
+
+        def pad(a):
+            cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
+            return jnp.pad(a, cfgpad) if pad_rows else a
+
+        ext_op = _extend_vector_operator(op, cells, y_axis, x_axis)
+        npdt = np.dtype(dtype)
+        neg2s = npdt.type(-2.0 * lap_scale)
+        if is_ctap:
+            coef_src = {k: ext_op[k] for k in _coef_keys}
+        else:
+            coef_src = {k: getattr(ext_op, k) for k in _coef_keys}
+        # center coefficients absorb the recurrence's -2*t (vec_pass
+        # docstring): same fold as the host ext builders
+        return tuple(
+            ext_blocks_jnp(
+                pad(coef_src[k]).astype(dtype) * neg2s
+                - (npdt.type(2.0) if k in CENTER_FOLD else npdt.type(0.0)),
+                br, khalo)
+            for k in _coef_keys
+        )
+
+    def _local_pallas_2d(op, u: Array, v: Array, coef_exts=None):
         """Rounds with the coupled trapezoid pass as local compute (vector
         analogue of the scalar path: exchange k-cell halos, pad, run the
         periodic pass kernel over the extended local block, slice the core).
         Both operator forms are reach-1 in kernel form."""
         from ..ops.pallas.vec_pass import build_ctap_pass, build_vec_pass
-        from ..ops.pallas.cheb_pass import PassPlan, ext_blocks_jnp
+        from ..ops.pallas.cheb_pass import PassPlan
 
         dtype = u.dtype
         ly, lx = u.shape[-2:]
@@ -616,24 +752,8 @@ def make_sharded_vector_apply(
             cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
             return jnp.pad(a, cfgpad) if pad_rows else a
 
-        from ..ops.pallas.vec_pass import CENTER_FOLD
-
-        ext_op = _extend_vector_operator(op, cells, y_axis, x_axis)
-        npdt = np.dtype(dtype)
-        neg2s = npdt.type(-2.0 * lap_scale)
-        if is_ctap:
-            coef_src = {k: ext_op[k] for k in _coef_keys}
-        else:
-            coef_src = {k: getattr(ext_op, k) for k in _coef_keys}
-        # center coefficients absorb the recurrence's -2*t (vec_pass
-        # docstring): same fold as the host ext builders
-        coef_exts = [
-            ext_blocks_jnp(
-                pad(coef_src[k]).astype(dtype) * neg2s
-                - (npdt.type(2.0) if k in CENTER_FOLD else npdt.type(0.0)),
-                br, khalo)
-            for k in _coef_keys
-        ]
+        if coef_exts is None:
+            coef_exts = _local_coef_exts(op, ly, lx, dtype)
 
         p = jnp.asarray(p_host, dtype=dtype)
         core = lambda a: a[..., cells : cells + ly, cells : cells + lx]
@@ -672,18 +792,14 @@ def make_sharded_vector_apply(
     def op_prepare(op, u, v):
         return op.prepare(u, v)
 
-    def _local(op, u: Array, v: Array) -> Tuple[Array, Array]:
-        if _pallas_on(u.dtype):
-            planned = _plan_local_coupled(
-                u.shape[-2], u.shape[-1], spec.n_steps, len(_coef_keys),
-                np.dtype(u.dtype).itemsize, halo_steps,
-            )
-            if planned is not None:
-                fn = lambda uu, vv: _local_pallas_2d(op, uu, vv)
-                if u.ndim == 3:
-                    return jax.vmap(fn)(u, v)
-                return fn(u, v)
-        return _local_xla(op, u, v)
+    _distributed = y_axis[1] > 1 or x_axis[1] > 1
+
+    def _local_pl(op, u: Array, v: Array, *coef_exts) -> Tuple[Array, Array]:
+        fn = lambda uu, vv: _local_pallas_2d(
+            op, uu, vv, coef_exts=coef_exts if coef_exts else None)
+        if u.ndim == 3:
+            return jax.vmap(fn)(u, v)
+        return fn(u, v)
 
     def _local_xla(op, u: Array, v: Array) -> Tuple[Array, Array]:
         dtype = u.dtype
@@ -739,15 +855,51 @@ def make_sharded_vector_apply(
 
         return (uacc, vacc) if is_ctap else op.finalize(uacc, vacc)
 
-    sharded = shard_map(
-        _local,
-        mesh=mesh,
-        in_specs=(op_specs, field_spec, field_spec),
-        out_specs=(field_spec, field_spec),
-        check_vma=False,
-    )
+    n_exts = len(_coef_keys) if _coef_keys is not None else 0
+    ext_spec = P(yax, None, xax)
 
-    jitted = jax.jit(sharded)
+    _pl_jit = {}
+
+    def _pallas_jitted():
+        key = "dist" if _distributed else "inline"
+        if key not in _pl_jit:
+            if _distributed:
+                fn = shard_map(
+                    _local_pl,
+                    mesh=mesh,
+                    in_specs=(op_specs, field_spec, field_spec)
+                    + (ext_spec,) * n_exts,
+                    out_specs=(field_spec, field_spec),
+                    check_vma=False,
+                )
+            else:
+                fn = shard_map(
+                    lambda op, u, v: _local_pl(op, u, v),
+                    mesh=mesh,
+                    in_specs=(op_specs, field_spec, field_spec),
+                    out_specs=(field_spec, field_spec),
+                    check_vma=False,
+                )
+            _pl_jit[key] = jax.jit(fn)
+        return _pl_jit[key]
+
+    _ext_cache = {}
+
+    def _exts_for(ly, lx, dtype, op):
+        key = (ly, lx, str(dtype))
+        if key not in _ext_cache:
+            prep = shard_map(
+                lambda o: _local_coef_exts(o, ly, lx, dtype),
+                mesh=mesh,
+                in_specs=(op_specs,),
+                out_specs=(ext_spec,) * n_exts,
+                check_vma=False,
+            )
+            exts = jax.jit(prep)(op)
+            jax.block_until_ready(exts)
+            _ext_cache[key] = exts
+        return _ext_cache[key]
+
     op_for = _operator_dtype_cache(op_operand)
 
     _fb = []
@@ -764,7 +916,7 @@ def make_sharded_vector_apply(
             _fb.append(jax.jit(fb))
         return _fb[0]
 
-    _primary = [jitted]
+    _primary = [True]  # True = auto; a callable = injected; None = pinned
 
     def apply_fn(u, v):
         u3, restore = _normalize(u)
@@ -778,9 +930,20 @@ def make_sharded_vector_apply(
         if v3.dtype != dtype:
             v3 = v3.astype(dtype)
         op = op_for(dtype)
-        if _primary[0] is not None:
+        ly = u3.shape[-2] // y_axis[1]
+        lx = u3.shape[-1] // x_axis[1]
+        use_pl = (
+            _primary[0] is not None
+            and _pallas_on(dtype)
+            and _plan_local_coupled(
+                ly, lx, spec.n_steps, len(_coef_keys),
+                np.dtype(dtype).itemsize, halo_steps) is not None
+        )
+        if use_pl:
             try:
-                fu, fv = _primary[0](op, u3, v3)
+                exts = _exts_for(ly, lx, dtype, op) if _distributed else ()
+                fn = _primary[0] if callable(_primary[0]) else _pallas_jitted()
+                fu, fv = fn(op, u3, v3, *exts)
                 return restore(fu), restore(fv)
             except jax.errors.JaxRuntimeError:
                 from ..utils.telemetry import record_fallback

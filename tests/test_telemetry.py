@@ -70,8 +70,10 @@ def test_sharded_pin_warns_and_counts():
 
     reset_fallback_counts()
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("y", "x"))
+    # use_pallas=True: the pin applies to the Pallas local-compute path (the
+    # injected failure below replaces it; XLA rounds are the fallback)
     filt = Filter(filter_scale=4.0, dx_min=1.0, mesh=mesh,
-                  spatial_axes=("y", "x"))
+                  spatial_axes=("y", "x"), use_pallas=True)
     fn = filt._scalar_fn()
     data = np.random.default_rng(1).random((64, 64))
     ref = np.asarray(fn(data))
