@@ -39,6 +39,10 @@ def _maybe_xarray():
     try:
         import xarray as xr  # optional dependency
 
+        # reject stand-ins (the parity test harness stubs an `xarray`
+        # module with bare Dataset/DataArray classes for isinstance checks)
+        if not hasattr(xr, "apply_ufunc"):
+            return None
         return xr
     except ImportError:
         return None

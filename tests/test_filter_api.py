@@ -452,11 +452,13 @@ def test_grid_ds_attribute():
     filt = Filter(filter_scale=4.0, dx_min=1.0,
                   grid_type=GridType.REGULAR_WITH_LAND,
                   grid_vars={"wet_mask": wet})
+    from gcm_filters_tpu.filter import _maybe_xarray
+
     ds = filt.grid_ds
-    try:
-        import xarray as xr
+    xr = _maybe_xarray()
+    if xr is not None:
         assert isinstance(ds, xr.Dataset)
         np.testing.assert_array_equal(ds["wet_mask"].values, wet)
-    except ImportError:
+    else:
         assert isinstance(ds, dict)
         np.testing.assert_array_equal(np.asarray(ds["wet_mask"]), wet)
