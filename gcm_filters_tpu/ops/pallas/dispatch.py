@@ -47,6 +47,33 @@ from .cheb_pass import (
 from .cheb_step import build_cheb_step
 
 
+def _compile_failure_errors():
+    """Exception types meaning 'this kernel config cannot compile on this
+    chip' (pin to XLA + warn): JaxRuntimeError (runtime compile transport)
+    and Mosaic's own error type, which subclasses plain Exception and would
+    otherwise escape the fallback chain (observed with a bf16 request whose
+    windows violated the 16-row bf16 sublane tile)."""
+    errs = [jax.errors.JaxRuntimeError]
+    try:
+        from jax._src.pallas.mosaic.error_handling import MosaicError
+
+        errs.append(MosaicError)
+    except ImportError:  # pragma: no cover - jax internals moved
+        pass
+    return tuple(errs)
+
+
+COMPILE_ERRORS = _compile_failure_errors()
+
+
+def _pallas_dtype_ok(dtype) -> bool:
+    """The fused kernels are planned for >=4-byte floats; narrow floats
+    (bf16/fp16) have different sublane tiles and no VPU throughput win on
+    this hardware, so they take the XLA engine."""
+    return (jnp.issubdtype(dtype, jnp.floating)
+            and np.dtype(dtype).itemsize >= 4)
+
+
 def _lap_scale(spec: FilterSpec, is_dimensional: bool) -> float:
     from ...engine import _laplacian_scale
 
@@ -297,7 +324,7 @@ def make_pallas_scalar_apply(
 
     def apply_fn(field):
         field = jnp.asarray(field)
-        if not jnp.issubdtype(field.dtype, jnp.floating) or field.ndim < 2:
+        if not _pallas_dtype_ok(field.dtype) or field.ndim < 2:
             return _xla_fallback(field)
         ny, nx = field.shape[-2:]
         key = (ny, nx, str(field.dtype))
@@ -311,7 +338,7 @@ def make_pallas_scalar_apply(
             flat = field.reshape((-1,) + field.shape[-2:])
             out = jax.vmap(fn, in_axes=(0, None, None))(flat, arrays_dev, exts)
             return out.reshape(lead + out.shape[-2:])
-        except jax.errors.JaxRuntimeError:
+        except COMPILE_ERRORS:
             # The VMEM planner is a model, not ground truth: if the chosen
             # kernel config fails to compile on this chip, pin this shape to
             # the XLA path permanently (with a warning + counter: the user
@@ -439,7 +466,7 @@ def make_pallas_vector_apply(operator, spec: FilterSpec):
             return fn(op_dev, u, v)
 
         if (
-            not jnp.issubdtype(u.dtype, jnp.floating)
+            not _pallas_dtype_ok(u.dtype)
             or u.ndim < 2
             or u.shape != v.shape
             or u.dtype != v.dtype
@@ -462,7 +489,7 @@ def make_pallas_vector_apply(operator, spec: FilterSpec):
             fu, fv = jax.vmap(fn, in_axes=(0, 0, None))(uf, vf, exts)
             return (fu.reshape(lead + fu.shape[-2:]),
                     fv.reshape(lead + fv.shape[-2:]))
-        except jax.errors.JaxRuntimeError:
+        except COMPILE_ERRORS:
             # VMEM planning is a model; pin shapes whose kernels fail to
             # compile on this chip to the XLA path (same as the scalar
             # dispatcher), warning + counting the downgrade.

@@ -40,6 +40,7 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from ..engine import _compute_dtype, _laplacian_scale, _operator_dtype_cache
+from ..ops.pallas.dispatch import COMPILE_ERRORS
 from ..filter_spec import FilterSpec
 from ..ops.stencil import BGridVectorStencil, CGridVectorOperator, ScalarStencil5
 from . import halo
@@ -404,7 +405,9 @@ def make_sharded_scalar_apply(
     land_gain = float(np.polynomial.chebyshev.chebval(-1.0, p_host))
 
     def _pallas_on(dtype) -> bool:
-        if not pallas_eligible or not jnp.issubdtype(dtype, jnp.floating):
+        from ..ops.pallas.dispatch import _pallas_dtype_ok
+
+        if not pallas_eligible or not _pallas_dtype_ok(dtype):
             return False
         if use_pallas is not None:
             return use_pallas
@@ -559,7 +562,7 @@ def make_sharded_scalar_apply(
                 exts = _exts_for(ly, lx, dtype, st) if _distributed else ()
                 fn = _primary[0] if callable(_primary[0]) else _pallas_jitted()
                 return restore(fn(st, arr, *exts))
-            except jax.errors.JaxRuntimeError:
+            except COMPILE_ERRORS:
                 # VMEM planning is a model, not ground truth: if the local
                 # Pallas kernel fails to compile on this chip, pin this
                 # apply to XLA rounds permanently (warned + counted).
@@ -685,7 +688,9 @@ def make_sharded_vector_apply(
         _coef_keys = None
 
     def _pallas_on(dtype) -> bool:
-        if _coef_keys is None or not jnp.issubdtype(dtype, jnp.floating):
+        from ..ops.pallas.dispatch import _pallas_dtype_ok
+
+        if _coef_keys is None or not _pallas_dtype_ok(dtype):
             return False
         if use_pallas is not None:
             return use_pallas
@@ -945,7 +950,7 @@ def make_sharded_vector_apply(
                 fn = _primary[0] if callable(_primary[0]) else _pallas_jitted()
                 fu, fv = fn(op, u3, v3, *exts)
                 return restore(fu), restore(fv)
-            except jax.errors.JaxRuntimeError:
+            except COMPILE_ERRORS:
                 from ..utils.telemetry import record_fallback
 
                 _primary[0] = None

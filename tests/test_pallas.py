@@ -282,3 +282,28 @@ def test_pallas_exact_nan_mode_via_filter_and_sharded():
                              spatial_axes=("y", "x")).apply(data))
     assert (np.isnan(gots) == np.isnan(want)).all()
     np.testing.assert_allclose(gots[m], want[m], rtol=1e-11, atol=1e-13)
+
+
+def test_narrow_float_dtypes_take_xla_path():
+    """bf16/f16 have a different sublane tile and no VPU win; they must
+    route to the XLA engine cleanly (a bf16 request once escaped the
+    fallback chain as a raw MosaicError on-chip)."""
+    filt = Filter(filter_scale=4.0, dx_min=1.0, use_pallas=True)
+    data = np.random.default_rng(0).random((64, 128)).astype(np.float32)
+    fn = filt._scalar_fn()
+    out16 = np.asarray(fn(jnp.asarray(data, jnp.bfloat16)))
+    # narrow floats promote to float32 (engine._compute_dtype), same as
+    # integer inputs — the precision floor of the compute path
+    assert out16.dtype == np.float32
+    out32 = np.asarray(fn(jnp.asarray(data)))
+    np.testing.assert_allclose(out16.astype(np.float64), out32, atol=0.02)
+
+
+def test_mosaic_error_counts_as_compile_failure():
+    from gcm_filters_tpu.ops.pallas.dispatch import COMPILE_ERRORS
+
+    try:
+        from jax._src.pallas.mosaic.error_handling import MosaicError
+    except ImportError:
+        pytest.skip("jax internals moved")
+    assert any(issubclass(MosaicError, e) for e in COMPILE_ERRORS)
