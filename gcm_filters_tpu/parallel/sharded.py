@@ -578,6 +578,8 @@ def make_sharded_scalar_apply(
         return restore(_fallback_jitted()(st, arr))
 
     apply_fn._primary = _primary  # exposed for tests/fault injection
+    apply_fn._pl_jit = _pl_jit  # exposed for tests (collective census)
+    apply_fn._ext_cache = _ext_cache
     _fb = []
 
     def _fallback_jitted():
@@ -964,4 +966,6 @@ def make_sharded_vector_apply(
         return restore(fu), restore(fv)
 
     apply_fn._primary = _primary  # exposed for tests/fault injection
+    apply_fn._pl_jit = _pl_jit  # exposed for tests (collective census)
+    apply_fn._ext_cache = _ext_cache
     return apply_fn

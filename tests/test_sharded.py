@@ -195,3 +195,43 @@ def test_sharded_mixed_dtype_matches_unsharded(scalar_grid_data):
         got = np.asarray(filt.apply(data32))
         assert got.dtype == np.float32
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_distributed_prepared_exts_remove_coefficient_collectives():
+    """On a real (sharded-spatial) mesh, the per-shard extended coefficient
+    blocks are prepared once and cached; the steady-state apply must then
+    contain ONLY the carry halo exchanges — far fewer collective-permutes
+    than an apply that re-extends every coefficient in-trace (round-2
+    optimization; see benchmarks/README.md)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import gcm_filters_tpu as gf
+    from gcm_filters_tpu.engine import _cast_operator
+
+    ny, nx = 96, 192
+    rng = np.random.default_rng(0)
+    wet = np.ones((ny, nx)); wet[0, :] = 0
+    area = 0.9 + 0.2 * rng.random((ny, nx))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("y", "x"))
+    filt = gf.Filter(filter_scale=6.0, dx_min=1.0,
+                     grid_type=gf.GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+                     grid_vars=dict(area=area, wet_mask=wet),
+                     mesh=mesh, spatial_axes=("y", "x"), use_pallas=True)
+    fn = filt._scalar_fn()
+    x = jnp.asarray(rng.random((ny, nx)).astype(np.float32))
+    out = np.asarray(fn(x))  # warms the ext cache and the compiled apply
+    assert np.isfinite(out[1:]).all()
+    assert fn._ext_cache, "prepared-ext cache unexpectedly empty"
+
+    st = _cast_operator(filt.operator, jnp.float32)
+    exts = next(iter(fn._ext_cache.values()))
+    hlo = fn._pl_jit["dist"].lower(st, x[None], *exts).compile().as_text()
+    n_apply = hlo.count(" collective-permute(")
+
+    # the ext PREPARE itself carries the coefficient exchanges, once ever
+    assert n_apply > 0  # carries still exchange halos
+    # in-trace coefficient extension added ~3 exchanges x ~5 permutes on
+    # this grid; the steady-state apply must be well under that regime
+    assert n_apply <= 12, f"apply still carries coefficient collectives: {n_apply}"
