@@ -55,9 +55,9 @@ def census(grid_type, ny, nx, halo_steps=None, vector=False):
 
     filt = gf.Filter(filter_scale=10.0, dx_min=1.0, grid_type=grid_type,
                      grid_vars=gv, dtype=jnp.float32, mesh=mesh,
-                     spatial_axes=("y", "x"), halo_steps=halo_steps)
+                     spatial_axes=("y", "x"), halo_steps=halo_steps,
+                     use_pallas=False)
     fn = (filt._vector_fn() if vector else filt._scalar_fn())
-    jitted = fn._primary[0]
     op = _cast_operator(filt.operator, jnp.float32)
     if vector:
         from gcm_filters_tpu.ops.stencil import CGridVectorOperator
@@ -67,10 +67,12 @@ def census(grid_type, ny, nx, halo_steps=None, vector=False):
 
             op = _cast_operator(cgrid_tap_arrays(filt.operator), jnp.float32)
         u = jnp.zeros((1, ny, nx), jnp.float32)
-        hlo = jitted.lower(op, u, u).compile().as_text()
+        fn(u[0], u[0])  # populate the compiled XLA-rounds path
+        hlo = fn._fb[0].lower(op, u, u).compile().as_text()
     else:
         x = jnp.zeros((1, ny, nx), jnp.float32)
-        hlo = jitted.lower(op, x).compile().as_text()
+        fn(x[0])  # populate the compiled XLA-rounds path
+        hlo = fn._fb[0].lower(op, x).compile().as_text()
 
     n_perm = hlo.count(" collective-permute(")
     total_bytes = 0
@@ -91,12 +93,47 @@ def census(grid_type, ny, nx, halo_steps=None, vector=False):
     )
 
 
+def census_prepared(ny, nx):
+    """The steady-state apply of the PREPARED (cached-ext) Pallas path:
+    coefficient exchanges live in the one-time prepare, so the apply should
+    carry only the carry halo exchanges."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(0)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("y", "x"))
+    wet = np.ones((ny, nx)); wet[0, :] = 0
+    area = 0.9 + 0.2 * rng.random((ny, nx))
+    filt = gf.Filter(filter_scale=10.0, dx_min=1.0,
+                     grid_type=gf.GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+                     grid_vars=dict(area=area, wet_mask=wet),
+                     dtype=jnp.float32, mesh=mesh, spatial_axes=("y", "x"),
+                     use_pallas=True)
+    fn = filt._scalar_fn()
+    x = jnp.zeros((ny, nx), jnp.float32)
+    fn(x)  # warms ext cache + compiled apply
+    st = _cast_operator(filt.operator, jnp.float32)
+    exts = next(iter(fn._ext_cache.values()))
+    hlo = fn._pl_jit["dist"].lower(st, x[None], *exts).compile().as_text()
+    n_perm = hlo.count(" collective-permute(")
+    total_bytes = 0
+    for dt, dims in _SHAPE_RE.findall(hlo):
+        n = int(np.prod([int(d) for d in dims.split(",")])) if dims else 1
+        total_bytes += n * _DTYPE_BYTES.get(dt, 4)
+    return dict(
+        grid="TRIPOLAR_REGULAR (prepared-ext pallas apply)", ny=ny, nx=nx,
+        devices=8, mesh=[2, 4], n_steps=filt.n_steps,
+        collective_permutes=n_perm,
+        permute_payload_mib=round(total_bytes * 8 / 2**20, 3),
+    )
+
+
 def main():
     rows = [
         census(gf.GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED, 1200, 1800),
         census(gf.GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED, 1200, 1800,
                halo_steps=1),
         census(gf.GridType.VECTOR_B_GRID, 1200, 1800, vector=True),
+        census_prepared(1200, 1800),
     ]
     for r in rows:
         print(json.dumps(r), flush=True)

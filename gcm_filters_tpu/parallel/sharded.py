@@ -581,6 +581,7 @@ def make_sharded_scalar_apply(
     apply_fn._pl_jit = _pl_jit  # exposed for tests (collective census)
     apply_fn._ext_cache = _ext_cache
     _fb = []
+    apply_fn._fb = _fb  # exposed for the collective census
 
     def _fallback_jitted():
         if not _fb:
@@ -968,4 +969,5 @@ def make_sharded_vector_apply(
     apply_fn._primary = _primary  # exposed for tests/fault injection
     apply_fn._pl_jit = _pl_jit  # exposed for tests (collective census)
     apply_fn._ext_cache = _ext_cache
+    apply_fn._fb = _fb  # exposed for the collective census
     return apply_fn
