@@ -404,10 +404,14 @@ class Filter:
                             f"(latitude first); transpose it to "
                             f"(..., {dims[0]}, {dims[1]})."
                         )
-                    filtered[key] = self._scalar_fn()(self._coerce(arr))
+                    # preserve the (array, dims) form so the output dict can
+                    # round-trip through .apply with its dims metadata intact
+                    filtered[key] = (
+                        self._scalar_fn()(self._coerce(arr)), var_dims
+                    )
                     any_filtered = True
                 else:
-                    filtered[key] = arr
+                    filtered[key] = (arr, var_dims)
                 continue
             arr = np.asarray(var) if not isinstance(var, jax.Array) else var
             if arr.ndim >= 2 and tuple(arr.shape[-2:]) == ny_nx:

@@ -71,8 +71,11 @@ class BaseVectorOperator:
 
 
 def _call_arity(op) -> int:
-    """Number of field arguments the operator's apply function takes."""
-    fn = getattr(op, "laplacian", None) or op.__call__
+    """Number of field arguments the operator's apply function takes
+    (-1 when the object has no apply function at all)."""
+    fn = getattr(op, "laplacian", None) or getattr(op, "__call__", None)
+    if fn is None:
+        return -1
     try:
         sig = inspect.signature(fn)
     except (TypeError, ValueError):  # pragma: no cover - builtins

@@ -341,7 +341,10 @@ def _build_pass_call(cfg: _PassConfig):
 
         def lap(t):
             if cfg.has_pre:
-                g = pre * jnp.nan_to_num(t)
+                # honor zap_nans: a custom pre-masked stencil with
+                # zap_nans=False must propagate NaNs exactly like the XLA
+                # engine (review finding, round 2)
+                g = pre * (jnp.nan_to_num(t) if zap else t)
             else:
                 g = jnp.nan_to_num(t) if zap else t
             gn = jnp.concatenate([g[1:, :], g[:1, :]], axis=0)

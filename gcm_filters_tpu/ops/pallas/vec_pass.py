@@ -13,18 +13,19 @@ two operators supply only their contraction body:
     stencil from ops/ctaps.py (18 arrays) — the two-stage strain/divergence
     form collapsed into a single reach-1 contraction.
 
-Coefficient convention: all coefficient arrays are pre-scaled by
-``-2*lap_scale`` by the host_* builders, and the CENTER coefficient of each
-same-component contraction additionally absorbs the recurrence's ``-2*t``
-term (``cc`` for the B-grid diffusion set, ``CU_c``/``CV_c`` for the taps):
+Coefficient convention (same as the scalar pass): all coefficient arrays
+are pre-scaled by ``-2*lap_scale`` by the host_* builders, so the recurrence
+is
 
-    lapF(t) = sum(X'' * t_X),  X'' = -2*lap_scale*X  (center: ... - 2),
-    A t     = 0.5 * lapF(t)          [since -t + 0.5*lap' = 0.5*(lap' - 2t)]
-    t_next  = lapF(t) - t_prev.
+    lap'(t) = sum(X' * t_X),   A t = -t + 0.5*lap'(t),
+    t_next = -2*t + lap'(t) - t_prev.
 
-This removes one multiply-add per component per cell per step from the
-VPU-bound hot loop (exact algebra; no post mask exists on vector grids, so
-the fold cannot interact with masking).
+(A center-fold variant — absorbing the -2*t into the center coefficients —
+was tried in round 2 and REVERTED: the folded term acts on the
+nan_to_num-scrubbed field instead of the raw one, so a NaN cell's T_k
+becomes finite and its whole neighborhood diverges from the XLA engine,
+violating the Pallas==XLA parity invariant; the measured speed contribution
+was within noise since these kernels are stream-bound.)
 
 Both operators are doubly periodic with no land mask (parity with the
 reference); NaNs are scrubbed per step inside the window, matching the
@@ -53,9 +54,6 @@ from .cheb_pass import (
 _DIFF = ("cc", "dun", "dus", "due", "duw")
 _MIX = ("dmc", "dmn", "dms", "dme", "dmw")
 _CTAP_NAMES = tuple(name for name, *_ in CTAPS)
-# Center coefficients that absorb the recurrence's -2*t term (see module
-# docstring): one per same-component contraction.
-CENTER_FOLD = ("cc", "CU_c", "CV_c")
 
 
 # Wide-VMEM notes: see cheb_pass.py (_VMEM_BUDGET_WIDE / _VMEM_LIMIT_BYTES;
@@ -160,10 +158,8 @@ def host_vec_ext_inputs(
     npdt = np.dtype(dtype)
     neg2s = npdt.type(-2.0 * lap_scale)
     return [
-        ext_blocks_np(
-            np.asarray(getattr(op, k), dtype=npdt) * neg2s
-            - (npdt.type(2.0) if k in CENTER_FOLD else npdt.type(0.0)),
-            plan.br, plan.halo)
+        ext_blocks_np(np.asarray(getattr(op, k), dtype=npdt) * neg2s,
+                      plan.br, plan.halo)
         for k in (*_DIFF, *_MIX)
     ]
 
@@ -174,10 +170,8 @@ def host_ctap_ext_inputs(taps, plan: PassPlan, dtype, lap_scale: float):
     npdt = np.dtype(dtype)
     neg2s = npdt.type(-2.0 * lap_scale)
     return [
-        ext_blocks_np(
-            np.asarray(taps[name], dtype=npdt) * neg2s
-            - (npdt.type(2.0) if name in CENTER_FOLD else npdt.type(0.0)),
-            plan.br, plan.halo)
+        ext_blocks_np(np.asarray(taps[name], dtype=npdt) * neg2s,
+                      plan.br, plan.halo)
         for name in _CTAP_NAMES
     ]
 
@@ -280,8 +274,7 @@ def _build_coupled_pass(
         own = slice(halo, halo + br)
         if first_pass:
             prev = window(f_views[0])
-            # center fold: A t = 0.5 * lapF(t) exactly (module docstring)
-            cur = half * lap(prev)
+            cur = -prev + half * lap(prev)
             acc = p_ref[0, 0] * prev[:, own] + p_ref[0, 1] * cur[:, own]
             p_off = 2
         else:
@@ -292,7 +285,7 @@ def _build_coupled_pass(
 
         n_rec = n_ops - 1 if first_pass else n_ops
         for j in range(n_rec):
-            nxt = lap(cur) - prev  # -2*t lives in the center coefficient
+            nxt = -2.0 * cur + lap(cur) - prev
             acc = acc + p_ref[0, p_off + j] * nxt[:, own]
             prev, cur = cur, nxt
 

@@ -540,7 +540,8 @@ def make_sharded_scalar_apply(
     # whole pipeline (and crash the Pallas kernels' f32 out_shapes).
     op_for = _operator_dtype_cache(stencil)
 
-    _primary = [True]  # True = auto; a callable = injected; None = pinned
+    _primary = [None]  # a callable = injected override (tests)
+    _pinned = set()  # (ly, lx, dtype) whose kernel failed to compile
 
     def apply_fn(field):
         arr, restore = _normalize(field)
@@ -552,23 +553,25 @@ def make_sharded_scalar_apply(
         st = op_for(dtype)
         ly = arr.shape[-2] // y_axis[1]
         lx = arr.shape[-1] // x_axis[1]
+        key = (ly, lx, str(dtype))
         use_pl = (
-            _primary[0] is not None
+            key not in _pinned
             and _pallas_on(dtype)
             and _feasible(ly, lx, dtype) is not None
         )
         if use_pl:
             try:
                 exts = _exts_for(ly, lx, dtype, st) if _distributed else ()
-                fn = _primary[0] if callable(_primary[0]) else _pallas_jitted()
+                fn = _primary[0] or _pallas_jitted()
                 return restore(fn(st, arr, *exts))
             except COMPILE_ERRORS:
                 # VMEM planning is a model, not ground truth: if the local
-                # Pallas kernel fails to compile on this chip, pin this
-                # apply to XLA rounds permanently (warned + counted).
+                # Pallas kernel fails to compile on this chip, pin THIS
+                # shape/dtype to XLA rounds permanently (warned + counted;
+                # other shapes keep the fast path).
                 from ..utils.telemetry import record_fallback
 
-                _primary[0] = None
+                _pinned.add(key)
                 record_fallback(
                     "sharded_pallas_compile_fallback",
                     f"sharded local Pallas compute for shape "
@@ -578,6 +581,7 @@ def make_sharded_scalar_apply(
         return restore(_fallback_jitted()(st, arr))
 
     apply_fn._primary = _primary  # exposed for tests/fault injection
+    apply_fn._pinned = _pinned
     apply_fn._pl_jit = _pl_jit  # exposed for tests (collective census)
     apply_fn._ext_cache = _ext_cache
     _fb = []
@@ -598,19 +602,23 @@ def make_sharded_scalar_apply(
     return apply_fn
 
 
-def _plan_local_coupled(ly, lx, n_steps, n_ext, itemsize, halo_steps):
+def _plan_local_coupled(ly, lx, n_steps, n_ext, itemsize, halo_steps,
+                        br_target=None):
     """(cells, halo, br, rows_p, steps) for the per-shard coupled pass
     (same conventions as :func:`_plan_local_pallas`).
 
     Uses the wide VMEM budget (the coupled pass builders lift Mosaic's
-    scoped-vmem cap, ops/pallas/vec_pass.py) and aims br at the measured
-    sweet spot instead of growing it to the cap."""
+    scoped-vmem cap, ops/pallas/vec_pass.py) and aims br at the operator's
+    measured sweet spot instead of growing it to the cap."""
     from ..ops.pallas.vec_pass import (
         _BR_MAX,
         _BR_TARGET_CTAP,
         _VMEM_BUDGET_WIDE,
         _coupled_rows,
     )
+
+    if br_target is None:
+        br_target = _BR_TARGET_CTAP
 
     k_max = min(halo_steps or 16, n_steps, max(1, min(ly, lx) // 2))
     for k in range(k_max, 0, -1):
@@ -629,7 +637,7 @@ def _plan_local_coupled(ly, lx, n_steps, n_ext, itemsize, halo_steps):
             cand += 8
         if not cands:
             continue
-        br = min(cands, key=lambda b: (abs(b - _BR_TARGET_CTAP), -b))
+        br = min(cands, key=lambda b: (abs(b - br_target), -b))
         rows_p = -(-rows_e // br) * br
         return cells, min(br, halo), br, rows_p, steps
     return None
@@ -679,16 +687,21 @@ def make_sharded_vector_apply(
     field_spec = P(batch_axis, yax, xax)
 
     # Coefficient metadata for the per-shard Pallas pass (runtime coef exts).
+    from ..ops.pallas.vec_pass import _BR_TARGET_CTAP, _BR_TARGET_VEC
+
     if is_ctap:
         from ..ops.ctaps import CTAPS as _CT
 
         _coef_keys = tuple(name for name, *_ in _CT)
+        _br_tgt = _BR_TARGET_CTAP
     elif isinstance(operator, BGridVectorStencil):
         from ..ops.pallas.vec_pass import _DIFF, _MIX
 
         _coef_keys = (*_DIFF, *_MIX)
+        _br_tgt = _BR_TARGET_VEC  # measured B-grid sweet spot (br=40)
     else:
         _coef_keys = None
+        _br_tgt = None
 
     def _pallas_on(dtype) -> bool:
         from ..ops.pallas.dispatch import _pallas_dtype_ok
@@ -707,11 +720,10 @@ def make_sharded_vector_apply(
         computed once by the prepare shard_map and cached — the 10-18
         gathered tap/coefficient streams dominated the per-apply overhead)."""
         from ..ops.pallas.cheb_pass import ext_blocks_jnp
-        from ..ops.pallas.vec_pass import CENTER_FOLD
 
         planned = _plan_local_coupled(
             ly, lx, spec.n_steps, len(_coef_keys),
-            np.dtype(dtype).itemsize, halo_steps,
+            np.dtype(dtype).itemsize, halo_steps, br_target=_br_tgt,
         )
         cells, khalo, br, rows_p, _ = planned
         pad_rows = rows_p - (ly + 2 * cells)
@@ -727,13 +739,8 @@ def make_sharded_vector_apply(
             coef_src = {k: ext_op[k] for k in _coef_keys}
         else:
             coef_src = {k: getattr(ext_op, k) for k in _coef_keys}
-        # center coefficients absorb the recurrence's -2*t (vec_pass
-        # docstring): same fold as the host ext builders
         return tuple(
-            ext_blocks_jnp(
-                pad(coef_src[k]).astype(dtype) * neg2s
-                - (npdt.type(2.0) if k in CENTER_FOLD else npdt.type(0.0)),
-                br, khalo)
+            ext_blocks_jnp(pad(coef_src[k]).astype(dtype) * neg2s, br, khalo)
             for k in _coef_keys
         )
 
@@ -749,7 +756,7 @@ def make_sharded_vector_apply(
         ly, lx = u.shape[-2:]
         planned = _plan_local_coupled(
             ly, lx, spec.n_steps, len(_coef_keys),
-            np.dtype(dtype).itemsize, halo_steps,
+            np.dtype(dtype).itemsize, halo_steps, br_target=_br_tgt,
         )
         cells, khalo, br, rows_p, rounds = planned
         cols_e = lx + 2 * cells
@@ -924,7 +931,8 @@ def make_sharded_vector_apply(
             _fb.append(jax.jit(fb))
         return _fb[0]
 
-    _primary = [True]  # True = auto; a callable = injected; None = pinned
+    _primary = [None]  # a callable = injected override (tests)
+    _pinned = set()  # (ly, lx, dtype) whose kernel failed to compile
 
     def apply_fn(u, v):
         u3, restore = _normalize(u)
@@ -940,23 +948,25 @@ def make_sharded_vector_apply(
         op = op_for(dtype)
         ly = u3.shape[-2] // y_axis[1]
         lx = u3.shape[-1] // x_axis[1]
+        key = (ly, lx, str(dtype))
         use_pl = (
-            _primary[0] is not None
+            key not in _pinned
             and _pallas_on(dtype)
             and _plan_local_coupled(
                 ly, lx, spec.n_steps, len(_coef_keys),
-                np.dtype(dtype).itemsize, halo_steps) is not None
+                np.dtype(dtype).itemsize, halo_steps,
+                br_target=_br_tgt) is not None
         )
         if use_pl:
             try:
                 exts = _exts_for(ly, lx, dtype, op) if _distributed else ()
-                fn = _primary[0] if callable(_primary[0]) else _pallas_jitted()
+                fn = _primary[0] or _pallas_jitted()
                 fu, fv = fn(op, u3, v3, *exts)
                 return restore(fu), restore(fv)
             except COMPILE_ERRORS:
                 from ..utils.telemetry import record_fallback
 
-                _primary[0] = None
+                _pinned.add(key)
                 record_fallback(
                     "sharded_pallas_compile_fallback",
                     f"sharded local Pallas vector compute for shape "
@@ -967,6 +977,7 @@ def make_sharded_vector_apply(
         return restore(fu), restore(fv)
 
     apply_fn._primary = _primary  # exposed for tests/fault injection
+    apply_fn._pinned = _pinned
     apply_fn._pl_jit = _pl_jit  # exposed for tests (collective census)
     apply_fn._ext_cache = _ext_cache
     apply_fn._fb = _fb  # exposed for the collective census

@@ -292,9 +292,11 @@ def test_dict_apply_passthrough_non_spatial():
          "time": np.arange(4.0)},
         dims=("y", "x"),
     )
-    np.testing.assert_array_equal(np.asarray(res["table"]), table)
+    # named entries keep their (array, dims) form so the dict round-trips
+    np.testing.assert_array_equal(np.asarray(res["table"][0]), table)
+    assert res["table"][1] == ("a", "b")
     np.testing.assert_array_equal(np.asarray(res["time"]), np.arange(4.0))
-    assert not np.allclose(np.asarray(res["sst"]), sst)
+    assert not np.allclose(np.asarray(res["sst"][0]), sst)
 
 
 def test_one_dimensional_filter_via_custom_operator():
@@ -427,8 +429,12 @@ def test_dict_apply_named_dims():
         {"sst": (sst, ("y", "x")), "lookup": (lookup, ("mode", "param"))},
         dims=("y", "x"),
     )
-    assert not np.allclose(np.asarray(res["sst"]), sst)
-    np.testing.assert_array_equal(np.asarray(res["lookup"]), lookup)
+    assert not np.allclose(np.asarray(res["sst"][0]), sst)
+    np.testing.assert_array_equal(np.asarray(res["lookup"][0]), lookup)
+    # the output dict round-trips: dims metadata survived, so re-applying
+    # still selects by NAME (the lookup table stays untouched twice)
+    res2 = filt.apply(res, dims=("y", "x"))
+    np.testing.assert_array_equal(np.asarray(res2["lookup"][0]), lookup)
 
     # dims arg is mandatory once named entries appear
     with pytest.raises(ValueError, match="require"):
@@ -441,7 +447,7 @@ def test_dict_apply_named_dims():
     # batched named entries work
     batched = rng.random((3, 32, 32))
     res = filt.apply({"f": (batched, ("t", "y", "x"))}, dims=("y", "x"))
-    assert np.asarray(res["f"]).shape == batched.shape
+    assert np.asarray(res["f"][0]).shape == batched.shape
 
 
 def test_grid_ds_attribute():

@@ -307,3 +307,52 @@ def test_mosaic_error_counts_as_compile_failure():
     except ImportError:
         pytest.skip("jax internals moved")
     assert any(issubclass(MosaicError, e) for e in COMPILE_ERRORS)
+
+
+def test_pallas_vector_nan_parity():
+    """Vector Pallas passes must match the XLA engine in the presence of
+    NaN inputs: the round-2 center-fold optimization broke this (the folded
+    -2*t acted on the scrubbed field, so a NaN cell's T_k went finite and
+    its neighborhood diverged by ~0.1) and was reverted — this pins it."""
+    from gcm_filters_tpu.engine import vector_filter_apply
+    from gcm_filters_tpu.ops.pallas import make_pallas_vector_apply
+    from conftest import make_vector_grid_data
+
+    for gt in (GridType.VECTOR_B_GRID, GridType.VECTOR_C_GRID):
+        grid_type, (u, v), grid_vars = make_vector_grid_data(gt, (64, 128))
+        filt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
+                      grid_vars=grid_vars, use_pallas=False)
+        u = np.array(u); u[10, 20] = np.nan
+        fn = make_pallas_vector_apply(filt.operator, filt.filter_spec)
+        gu, gv = (np.asarray(a) for a in fn(jnp.asarray(u), jnp.asarray(v)))
+        wu, wv = (np.asarray(a) for a in vector_filter_apply(
+            filt.operator, filt.filter_spec, jnp.asarray(u), jnp.asarray(v)))
+        assert (np.isnan(gu) == np.isnan(wu)).all()
+        m = ~np.isnan(wu)
+        np.testing.assert_allclose(gu[m], wu[m], rtol=1e-11, atol=1e-13)
+        np.testing.assert_allclose(gv, wv, rtol=1e-11, atol=1e-13)
+
+
+def test_pallas_custom_pre_mask_without_zap_matches_xla():
+    """A custom stencil with a pre mask and zap_nans=False must keep the
+    XLA engine's NaN-propagation semantics on the Pallas path (the has_pre
+    kernel once force-scrubbed NaNs unconditionally)."""
+    from gcm_filters_tpu.ops.stencil import ScalarStencil5
+
+    ny, nx = 32, 128
+    mask = np.ones((ny, nx)); mask[:4] = 0.5  # non-binary: h-space ineligible
+    st = ScalarStencil5(c=-4.0, n=1.0, s=1.0, e=1.0, w=1.0,
+                        pre=mask, zap_nans=False)
+    filt = Filter(filter_scale=4.0, dx_min=1.0, custom_operator=st,
+                  use_pallas=False)
+    data = np.random.default_rng(3).random((ny, nx))
+    data[10, 20] = np.nan
+    fn = make_pallas_scalar_apply(filt.operator, filt.filter_spec)
+    got = np.asarray(fn(jnp.asarray(data)))
+    want = np.asarray(
+        scalar_filter_apply(filt.operator, filt.filter_spec, jnp.asarray(data))
+    )
+    assert (np.isnan(got) == np.isnan(want)).all()
+    assert np.isnan(want).sum() > 1  # NaN really propagates in this config
+    m = ~np.isnan(want)
+    np.testing.assert_allclose(got[m], want[m], rtol=1e-11, atol=1e-13)

@@ -83,7 +83,19 @@ def test_sharded_pin_warns_and_counts():
         out = np.asarray(fn(data))
     np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-14)
     assert fallback_counts().get("sharded_pallas_compile_fallback", 0) == 1
-    assert fn._primary[0] is None  # permanently pinned
+    assert len(fn._pinned) == 1  # THIS shape pinned, others unaffected
+    fn._primary[0] = None  # clear the injection
+
+    # a different shape still uses the fast path (per-shape pin, not global)
+    data2 = np.random.default_rng(2).random((32, 64))
+    import warnings as _w2
+
+    with _w2.catch_warnings():
+        _w2.simplefilter("error", PerformanceWarning)
+        out2 = np.asarray(fn(data2))
+    ref2 = np.asarray(Filter(filter_scale=4.0, dx_min=1.0).apply(data2))
+    np.testing.assert_allclose(out2, ref2, rtol=1e-5, atol=1e-6)
+    assert len(fn._pinned) == 1
 
     # subsequent calls go straight to the fallback, silently
     import warnings as _w
