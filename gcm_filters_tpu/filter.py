@@ -282,26 +282,30 @@ class Filter:
         k = np.sqrt(spec.s_max * (t + 1) / 2)
         if ax is None:
             _, ax = plt.subplots()
-        ax.plot(k, F(t), "g", label="target filter", linewidth=4)
+        ax.plot(k, F(t), color="tab:blue", label="target filter", linewidth=2.5)
         ax.plot(
             k,
             np.polynomial.chebyshev.chebval(t, spec.p),
-            "m",
-            label="approximation",
-            linewidth=4,
+            color="tab:orange",
+            linestyle="--",
+            label=f"Chebyshev approximation (n_steps={self.n_steps})",
+            linewidth=2.5,
         )
         ax.axvline(
             2 * np.pi / self.filter_scale,
-            color="k",
+            color="0.3",
+            linestyle=":",
             label="filter cutoff wavenumber",
-            linewidth=2,
         )
+        # Zoom to the transition band when the grid resolves scales far
+        # below the cutoff; otherwise the interesting region is a sliver.
         ax.set_xlim(left=0)
         if self.filter_scale / self.dx_min > 10:
             ax.set_xlim(right=4 * np.pi / self.filter_scale)
         ax.set_ylim(bottom=-0.1, top=1.1)
-        ax.set_xlabel("Wavenumber k", fontsize=18)
-        ax.grid(True)
+        ax.set_xlabel("wavenumber k")
+        ax.set_ylabel("filter response")
+        ax.grid(True, alpha=0.4)
         ax.legend()
         return ax
 
@@ -415,6 +419,21 @@ class Filter:
                 continue
             arr = np.asarray(var) if not isinstance(var, jax.Array) else var
             if arr.ndim >= 2 and tuple(arr.shape[-2:]) == ny_nx:
+                if named:
+                    # The user is already naming dims on other entries; a
+                    # bare array selected purely by coincidental trailing
+                    # shape (e.g. a (ny, nx) parameter table) is the one
+                    # case the reference's Dataset path cannot get wrong —
+                    # xarray always has dim names. Don't filter it silently.
+                    warnings.warn(
+                        f"Variable {key!r} is selected for filtering only "
+                        f"because its trailing shape matches the grid "
+                        f"{ny_nx}. Other entries name their dims "
+                        f"explicitly; pass {key!r} as an (array, dims) "
+                        f"pair too so selection is by dimension names, "
+                        f"not coincidental shape.",
+                        stacklevel=2,
+                    )
                 filtered[key] = self._scalar_fn()(self._coerce(arr))
                 any_filtered = True
             else:

@@ -77,6 +77,29 @@ COEF_NAMES = ("c", "n", "s", "e", "w")
 _MIRROR_SWAP = {"c": "c", "n": "s", "s": "n", "e": "w", "w": "e"}
 
 
+def _lane_width(nx: int, halo: int) -> int:
+    """The kernel's internal compute width: nx rounded up to the 128-lane
+    tile, with >= halo sacrificial wrap columns on each side.
+
+    Round-3 on-chip A/B: the SAME kernel on a lane-aligned width runs ~1.3x
+    faster per cell than on an unaligned one (nx=3584: 127-142 G vs
+    nx=3600: 100-105 G) — jnp.roll's periodic wrap on a non-multiple-of-128
+    logical width lowers to expensive misaligned lane shuffles. So the pass
+    kernels compute on an x-extended window (the x-leg of the trapezoid):
+    columns [hl, hl+nx) are real, flanked by periodic wrap copies. Roll wrap
+    at the aligned edges produces garbage that walks inward one column per
+    step and never reaches the real zone (halo >= n_ops per side); the real
+    columns see exactly their periodic neighbors, so results are bit-exact.
+    Aligned nx needs no extension: wrap-roll is both correct and cheap.
+    """
+    if nx % 128 == 0:
+        return nx
+    wx = -(-nx // 128) * 128
+    while wx - nx < 2 * halo:
+        wx += 128
+    return wx
+
+
 @dataclasses.dataclass(frozen=True)
 class PassPlan:
     """A schedule of fused passes covering all n_steps operator applications."""
@@ -191,13 +214,15 @@ def plan_passes(
 
 def ext_blocks_np(
     arr: np.ndarray, br: int, halo: int, fold: bool = False,
-    mirror_src: Optional[np.ndarray] = None,
+    mirror_src: Optional[np.ndarray] = None, wx: Optional[int] = None,
 ) -> np.ndarray:
-    """Pre-gather a coefficient array into (nb, br+2H, nx) extended layout.
+    """Pre-gather a coefficient array into (nb, br+2H, wx) extended layout.
 
     Block i covers global rows [i*br - H, (i+1)*br + H) with periodic wrap;
     on fold grids the top block's north halo holds the seam-mirrored rows of
-    ``mirror_src`` (the n/s- or e/w-swapped partner coefficient).
+    ``mirror_src`` (the n/s- or e/w-swapped partner coefficient). With
+    ``wx > nx`` the columns are periodically wrap-extended to the kernel's
+    lane-aligned compute width (see :func:`_lane_width`).
     """
     ny, nx = arr.shape[-2:]
     nb = ny // br
@@ -208,15 +233,24 @@ def ext_blocks_np(
         mirror = mirror_src[..., ny - halo : ny, :][..., ::-1, ::-1]
         ext = np.array(ext)
         ext[..., -1, br + halo :, :] = mirror
+    if wx is not None and wx != nx:
+        hl = (wx - nx) // 2
+        ext = ext[..., (np.arange(wx) - hl) % nx]
     return ext
 
 
-def ext_blocks_jnp(arr: jax.Array, br: int, halo: int) -> jax.Array:
+def ext_blocks_jnp(
+    arr: jax.Array, br: int, halo: int, wx: Optional[int] = None
+) -> jax.Array:
     """Runtime (traced) counterpart of :func:`ext_blocks_np`, periodic only."""
-    ny = arr.shape[-2]
+    ny, nx = arr.shape[-2:]
     nb = ny // br
     idx = (np.arange(-halo, br + halo)[None, :] + br * np.arange(nb)[:, None]) % ny
-    return arr[..., idx, :]
+    ext = arr[..., idx, :]
+    if wx is not None and wx != nx:
+        hl = (wx - nx) // 2
+        ext = ext[..., (np.arange(wx) - hl) % nx]
+    return ext
 
 
 def _mirror_chunk(x: jax.Array, halo: int, rows_m: int) -> jax.Array:
@@ -259,6 +293,9 @@ class _PassConfig:
     has_area: bool = False
     drop_pre: bool = False
     land_gain: float = 0.0
+    # Lane-aligned internal compute width (== nx when nx is already aligned);
+    # see _lane_width. Extended-layout streams arrive pre-widened to wx.
+    wx: int = 0
 
     @property
     def nb(self) -> int:
@@ -289,6 +326,15 @@ def _build_pass_call(cfg: _PassConfig):
     Outputs: (t1, t2, acc) or (acc,) for the last pass.
     """
     br, halo, nb, win = cfg.br, cfg.halo, cfg.nb, cfg.win
+    nx, wx = cfg.nx, (cfg.wx or cfg.nx)
+    ext_x = wx != nx
+    hl = (wx - nx) // 2  # left sacrificial-column count
+
+    def xslice(a):
+        if not ext_x:
+            return a
+        return a[..., hl : hl + nx]
+
     npdt = np.dtype(cfg.dtype)
     # Coefficients (array inputs AND consts) arrive pre-scaled by -2*lap_scale
     # so the recurrence needs no per-cell scale multiply:
@@ -316,12 +362,39 @@ def _build_pass_call(cfg: _PassConfig):
         post_ref = refs.pop(0) if has_post else None
         area_ref = refs.pop(0) if (fuse and cfg.has_area) else None
         if cfg.last_pass:
-            (acc_out,) = refs
+            acc_out = refs.pop(0)
             t1_out = t2_out = None
         else:
-            t1_out, t2_out, acc_out = refs
+            t1_out, t2_out, acc_out = refs.pop(0), refs.pop(0), refs.pop(0)
+        scratches = refs  # x-extension staging buffers (ext_x only)
 
         i = pl.program_id(0)
+
+        def xext(a):
+            """Wrap-extend along lanes to the aligned compute width.
+
+            MATERIALIZED through a VMEM scratch ref: a bare concatenate of
+            unaligned lane slices leaves the value in a lane-offset layout
+            that Mosaic re-aligns on every downstream op — measured 99 G vs
+            137 G for the whole pass (round-3 on-chip A/B). Staging the
+            extended window through a scratch store+load costs one window
+            copy per pass and gives every recurrence step a clean layout.
+            """
+            if not ext_x:
+                return a
+            sref = scratches.pop(0)
+            if hl < nx and wx - nx - hl < nx:
+                sref[:, :hl] = a[:, nx - hl :]
+                sref[:, hl : hl + nx] = a
+                sref[:, hl + nx :] = a[:, : wx - nx - hl]
+            else:
+                # nx smaller than the halo (tiny test shapes): build the
+                # periodic extension from enough tiled copies instead
+                reps = 1 + -(-wx // nx)
+                s0 = (-hl) % nx
+                base = jnp.concatenate([a] * reps, axis=-1)
+                sref[...] = base[:, s0 : s0 + wx]
+            return sref[...]
 
         def window(views, mirror_ref):
             own, prev, nxt = views
@@ -331,14 +404,21 @@ def _build_pass_call(cfg: _PassConfig):
                 hi = jnp.where(i == nb - 1, mirror_ref[:halo, :], hi)
             return jnp.concatenate([lo, own[...], hi], axis=0)
 
+        post = post_ref[0] if has_post else None
+        pre = pre_ref[0] if cfg.has_pre else None
+
         def coef(k):
             if k in coef_refs:
                 return coef_refs[k][0]
             return consts[k]
 
-        post = post_ref[0] if has_post else None
-        pre = pre_ref[0] if cfg.has_pre else None
-
+        # NOTE (round-3 on-chip A/B, 6 interleaved reps): factoring equal
+        # constant coefficients — k*(gn+gs+ge+gw) instead of k*gn + k*gs +
+        # k*ge + k*gw — measured consistently 16.4 G SLOWER (92 vs 104 G) on
+        # the headline tripolar grid. The VPU fuses each coefficient multiply
+        # into an FMA, so the naive chain is 1 mul + 4 FMAs already; the
+        # factored form is the same op count on a longer dependency chain.
+        # Keep the naive per-tap chain.
         def lap(t):
             if cfg.has_pre:
                 # honor zap_nans: a custom pre-masked stencil with
@@ -361,7 +441,7 @@ def _build_pass_call(cfg: _PassConfig):
         area = area_ref[0] if (fuse and cfg.has_area) else None
         fbar_w = None
         if cfg.first_pass:
-            w = window(f_views[0], mirrors[0] if fold else None)
+            w = xext(window(f_views[0], mirrors[0] if fold else None))
             if fuse:
                 # prepare (*area) + h-space masking, in-window
                 fbar_w = w * area if cfg.has_area else w
@@ -375,9 +455,9 @@ def _build_pass_call(cfg: _PassConfig):
             acc = p_ref[0, 0] * prev[own] + p_ref[0, 1] * cur[own]
             p_off = 2
         else:
-            cur = window(f_views[0], mirrors[0] if fold else None)  # T_{m-1}
-            prev = window(f_views[1], mirrors[1] if fold else None)  # T_{m-2}
-            acc = acc_ref[...]
+            cur = xext(window(f_views[0], mirrors[0] if fold else None))
+            prev = xext(window(f_views[1], mirrors[1] if fold else None))
+            acc = xext(acc_ref[...])
             p_off = 0
 
         n_rec = cfg.n_ops - 1 if cfg.first_pass else cfg.n_ops
@@ -387,9 +467,9 @@ def _build_pass_call(cfg: _PassConfig):
             prev, cur = cur, nxt
 
         if not cfg.last_pass:
-            t1_out[...] = cur[own]
-            t2_out[...] = prev[own]
-            acc_out[...] = acc
+            t1_out[...] = xslice(cur[own])
+            t2_out[...] = xslice(prev[own])
+            acc_out[...] = xslice(acc)
             return
 
         if fuse:
@@ -398,9 +478,9 @@ def _build_pass_call(cfg: _PassConfig):
                 if cfg.first_pass:
                     fbar_own = fbar_w[own]
                 elif cfg.has_area:
-                    fbar_own = field_own_ref[...] * area[own]
+                    fbar_own = xext(field_own_ref[...]) * area[own]
                 else:
-                    fbar_own = field_own_ref[...]
+                    fbar_own = xext(field_own_ref[...])
             if cfg.drop_pre:
                 # 0*fbar poisons wet-cell NaNs back into the result (the
                 # h-space recurrence scrubbed them; the reference keeps a
@@ -412,7 +492,7 @@ def _build_pass_call(cfg: _PassConfig):
                 )
             if cfg.has_area:
                 acc = acc / area[own]
-        acc_out[...] = acc
+        acc_out[...] = xslice(acc)
 
     def blk(index_map=lambda i: (i, 0)):
         return pl.BlockSpec((br, cfg.nx), index_map, memory_space=pltpu.VMEM)
@@ -442,7 +522,7 @@ def _build_pass_call(cfg: _PassConfig):
     n_ext = (len(coef_names) + int(cfg.has_pre) + int(has_post)
              + int(fuse and cfg.has_area))
     in_specs += [
-        pl.BlockSpec((1, win, cfg.nx), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, win, wx), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
         for _ in range(n_ext)
     ]
@@ -453,6 +533,16 @@ def _build_pass_call(cfg: _PassConfig):
         jax.ShapeDtypeStruct((cfg.ny, cfg.nx), cfg.dtype) for _ in range(n_out)
     ]
 
+    scratch_shapes = []
+    if ext_x:
+        scratch_shapes += [
+            pltpu.VMEM((win, wx), cfg.dtype) for _ in range(cfg.n_fields)
+        ]
+        if not cfg.first_pass:
+            scratch_shapes.append(pltpu.VMEM((br, wx), cfg.dtype))  # acc
+        if need_field_own:
+            scratch_shapes.append(pltpu.VMEM((br, wx), cfg.dtype))
+
     n_arrays = n_ext
     return pl.pallas_call(
         kernel,
@@ -460,10 +550,11 @@ def _build_pass_call(cfg: _PassConfig):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=12 * cfg.n_ops * nb * win * cfg.nx,
+            flops=12 * cfg.n_ops * nb * win * wx,
             bytes_accessed=(3 * cfg.n_fields + n_out + 1) * cfg.ny * cfg.nx
-            * npdt.itemsize + n_arrays * nb * win * cfg.nx * npdt.itemsize,
+            * npdt.itemsize + n_arrays * nb * win * wx * npdt.itemsize,
             transcendentals=0,
         ),
         # lift Mosaic's default 16 MiB scoped-vmem cap (the chip has 128 MB;
@@ -530,6 +621,7 @@ def build_cheb_pass(
         has_area=stencil.area is not None,
         drop_pre=drop_pre,
         land_gain=land_gain,
+        wx=_lane_width(nx, halo),
     )
     grid_call = _build_pass_call(cfg)
 
@@ -565,6 +657,7 @@ def host_ext_inputs(
     payload.
     """
     br, halo = plan.br, plan.halo
+    wx = _lane_width(nx, halo)
     fold = stencil.fold_north
     npdt = np.dtype(dtype)
     neg2s = npdt.type(-2.0 * lap_scale)
@@ -580,19 +673,19 @@ def host_ext_inputs(
     out = [
         ext_blocks_np(
             _host(getattr(stencil, k)), br, halo, fold,
-            _full(getattr(stencil, _MIRROR_SWAP[k])),
+            _full(getattr(stencil, _MIRROR_SWAP[k])), wx=wx,
         )
         for k in _coef_arrays(stencil)
     ]
     if stencil.pre is not None:
         pre = np.asarray(stencil.pre, dtype=npdt)  # pre is NOT scaled
-        out.append(ext_blocks_np(pre, br, halo, fold, pre))
+        out.append(ext_blocks_np(pre, br, halo, fold, pre, wx=wx))
     if stencil.post is not None:
         post = np.asarray(stencil.post, dtype=npdt)  # post is NOT scaled
-        out.append(ext_blocks_np(post, br, halo, fold, post))
+        out.append(ext_blocks_np(post, br, halo, fold, post, wx=wx))
     if stencil.area is not None:
         area = np.asarray(stencil.area, dtype=npdt)  # area is NOT scaled
-        out.append(ext_blocks_np(area, br, halo, fold, area))
+        out.append(ext_blocks_np(area, br, halo, fold, area, wx=wx))
     return out
 
 
@@ -638,6 +731,7 @@ def build_local_pass(
         last_pass=last_pass,
         lap_scale=lap_scale,
         dtype=dtype,
+        wx=_lane_width(nx, halo),
     )
     grid_call = _build_pass_call(cfg)
 

@@ -219,7 +219,7 @@ def local_scalar_coef_exts(
     and re-gathering every coefficient array on every apply, which was the
     bulk of the sharded-on-1x1-mesh overhead (benchmarks/README.md).
     """
-    from ..ops.pallas.cheb_pass import ext_blocks_jnp
+    from ..ops.pallas.cheb_pass import _lane_width, ext_blocks_jnp
 
     has_post = st.post is not None
     keep_pre = st.pre is not None and not drop_pre  # exact-NaN mode
@@ -231,6 +231,8 @@ def local_scalar_coef_exts(
         return None
     cells, khalo, br, rows_p, _ = planned
     pad_rows = rows_p - (ly + 2 * cells)
+    # must match build_local_pass's internal lane-aligned compute width
+    wx = _lane_width(lx + 2 * cells, khalo)
 
     hot = dataclasses.replace(st, pre=None) if drop_pre else st
     ext_st = _extend_scalar_stencil(hot, cells, y_axis, x_axis)
@@ -244,17 +246,17 @@ def local_scalar_coef_exts(
     neg2s = np.dtype(dtype).type(-2.0 * lap_scale)
     coef_exts = [
         ext_blocks_jnp(
-            pad(getattr(ext_st, k)).astype(dtype) * neg2s, br, khalo
+            pad(getattr(ext_st, k)).astype(dtype) * neg2s, br, khalo, wx=wx
         )
         for k in host_coef_names
     ]
     if keep_pre:
         coef_exts.append(
-            ext_blocks_jnp(pad(ext_st.pre).astype(dtype), br, khalo)
+            ext_blocks_jnp(pad(ext_st.pre).astype(dtype), br, khalo, wx=wx)
         )
     if has_post:
         coef_exts.append(
-            ext_blocks_jnp(pad(ext_st.post).astype(dtype), br, khalo)
+            ext_blocks_jnp(pad(ext_st.post).astype(dtype), br, khalo, wx=wx)
         )
     return tuple(coef_exts)
 
