@@ -78,26 +78,43 @@ _MIRROR_SWAP = {"c": "c", "n": "s", "s": "n", "e": "w", "w": "e"}
 
 
 def _lane_width(nx: int, halo: int) -> int:
-    """The kernel's internal compute width: nx rounded up to the 128-lane
-    tile, with >= halo sacrificial wrap columns on each side.
-
-    Round-3 on-chip A/B: the SAME kernel on a lane-aligned width runs ~1.3x
-    faster per cell than on an unaligned one (nx=3584: 127-142 G vs
-    nx=3600: 100-105 G) — jnp.roll's periodic wrap on a non-multiple-of-128
-    logical width lowers to expensive misaligned lane shuffles. So the pass
-    kernels compute on an x-extended window (the x-leg of the trapezoid):
-    columns [hl, hl+nx) are real, flanked by periodic wrap copies. Roll wrap
-    at the aligned edges produces garbage that walks inward one column per
-    step and never reaches the real zone (halo >= n_ops per side); the real
-    columns see exactly their periodic neighbors, so results are bit-exact.
-    Aligned nx needs no extension: wrap-roll is both correct and cheap.
-    """
+    """nx rounded up to the 128-lane tile, with >= 2*halo margin."""
     if nx % 128 == 0:
         return nx
     wx = -(-nx // 128) * 128
     while wx - nx < 2 * halo:
         wx += 128
     return wx
+
+
+def _ext_geometry(nx: int, halo: int) -> Tuple[int, int]:
+    """(wx, hl): the kernel's internal lane-aligned compute width and the
+    offset of the real columns within it.
+
+    Round-3 on-chip A/B (headline 2400x3600): the SAME kernel on a
+    lane-aligned width runs ~1.35x faster per cell (137-140 G vs 100-105 G)
+    — jnp.roll's periodic wrap on a non-multiple-of-128 logical width
+    lowers to misaligned lane shuffles that tax every recurrence step. So
+    each pass computes on an x-extended window (the x-leg of the
+    trapezoid): columns [hl, hl+nx) are real, flanked by periodic wrap
+    copies; roll wrap at the aligned edges produces garbage that walks
+    inward one column per step and never reaches the real zone (>= halo
+    sacrificial columns per side), so real columns stay bit-exact.
+
+    hl is a full vreg (128 lanes), NOT the minimal halo: the in-kernel
+    extension copies the (rows, nx) window into the scratch at lane offset
+    hl, and only a 128-multiple offset makes that a pure vreg-to-vreg copy
+    (no lane shuffling). With centered hl=56 the assembly itself cost the
+    entire alignment win back (~100 G measured three ways: centered
+    in-kernel concat, centered scratch staging, and XLA-side extension —
+    the last one loses ~0.24 ms/apply to two full-field HBM copies).
+
+    Aligned nx needs no extension: wrap-roll is already correct and cheap.
+    """
+    if nx % 128 == 0 or halo > 128:
+        return nx, 0
+    wx = -(-(nx + 128 + halo) // 128) * 128
+    return wx, 128
 
 
 @dataclasses.dataclass(frozen=True)
@@ -215,6 +232,7 @@ def plan_passes(
 def ext_blocks_np(
     arr: np.ndarray, br: int, halo: int, fold: bool = False,
     mirror_src: Optional[np.ndarray] = None, wx: Optional[int] = None,
+    xhl: int = 0,
 ) -> np.ndarray:
     """Pre-gather a coefficient array into (nb, br+2H, wx) extended layout.
 
@@ -234,13 +252,13 @@ def ext_blocks_np(
         ext = np.array(ext)
         ext[..., -1, br + halo :, :] = mirror
     if wx is not None and wx != nx:
-        hl = (wx - nx) // 2
-        ext = ext[..., (np.arange(wx) - hl) % nx]
+        ext = ext[..., (np.arange(wx) - xhl) % nx]
     return ext
 
 
 def ext_blocks_jnp(
-    arr: jax.Array, br: int, halo: int, wx: Optional[int] = None
+    arr: jax.Array, br: int, halo: int, wx: Optional[int] = None,
+    xhl: int = 0,
 ) -> jax.Array:
     """Runtime (traced) counterpart of :func:`ext_blocks_np`, periodic only."""
     ny, nx = arr.shape[-2:]
@@ -248,8 +266,7 @@ def ext_blocks_jnp(
     idx = (np.arange(-halo, br + halo)[None, :] + br * np.arange(nb)[:, None]) % ny
     ext = arr[..., idx, :]
     if wx is not None and wx != nx:
-        hl = (wx - nx) // 2
-        ext = ext[..., (np.arange(wx) - hl) % nx]
+        ext = ext[..., (np.arange(wx) - xhl) % nx]
     return ext
 
 
@@ -293,9 +310,10 @@ class _PassConfig:
     has_area: bool = False
     drop_pre: bool = False
     land_gain: float = 0.0
-    # Lane-aligned internal compute width (== nx when nx is already aligned);
-    # see _lane_width. Extended-layout streams arrive pre-widened to wx.
+    # Internal lane-aligned compute width and real-column offset within it
+    # (see _ext_geometry); wx == nx means no extension.
     wx: int = 0
+    xhl: int = 0
 
     @property
     def nb(self) -> int:
@@ -326,14 +344,13 @@ def _build_pass_call(cfg: _PassConfig):
     Outputs: (t1, t2, acc) or (acc,) for the last pass.
     """
     br, halo, nb, win = cfg.br, cfg.halo, cfg.nb, cfg.win
-    nx, wx = cfg.nx, (cfg.wx or cfg.nx)
+    nx, wx, hl = cfg.nx, (cfg.wx or cfg.nx), cfg.xhl
     ext_x = wx != nx
-    hl = (wx - nx) // 2  # left sacrificial-column count
+    wr = wx - nx - hl
 
     def xslice(a):
-        if not ext_x:
-            return a
-        return a[..., hl : hl + nx]
+        # hl is a vreg multiple, so this is a pure vreg-to-vreg copy
+        return a[..., hl : hl + nx] if ext_x else a
 
     npdt = np.dtype(cfg.dtype)
     # Coefficients (array inputs AND consts) arrive pre-scaled by -2*lap_scale
@@ -371,26 +388,23 @@ def _build_pass_call(cfg: _PassConfig):
         i = pl.program_id(0)
 
         def xext(a):
-            """Wrap-extend along lanes to the aligned compute width.
-
-            MATERIALIZED through a VMEM scratch ref: a bare concatenate of
-            unaligned lane slices leaves the value in a lane-offset layout
-            that Mosaic re-aligns on every downstream op — measured 99 G vs
-            137 G for the whole pass (round-3 on-chip A/B). Staging the
-            extended window through a scratch store+load costs one window
-            copy per pass and gives every recurrence step a clean layout.
+            """Wrap-extend along lanes to the aligned compute width,
+            materialized through a VMEM scratch ref. hl = one vreg makes
+            the big middle store a pure vreg-to-vreg copy; the two halo
+            strips are narrow. (A bare concatenate, or a non-128 offset,
+            leaves a lane-offset layout that Mosaic re-aligns on every
+            recurrence op — measured ~100 vs 137 G, see _ext_geometry.)
             """
             if not ext_x:
                 return a
             sref = scratches.pop(0)
-            if hl < nx and wx - nx - hl < nx:
-                sref[:, :hl] = a[:, nx - hl :]
+            if nx >= hl and nx >= wr:
                 sref[:, hl : hl + nx] = a
-                sref[:, hl + nx :] = a[:, : wx - nx - hl]
+                sref[:, :hl] = a[:, nx - hl :]
+                sref[:, hl + nx :] = a[:, :wr]
             else:
-                # nx smaller than the halo (tiny test shapes): build the
-                # periodic extension from enough tiled copies instead
-                reps = 1 + -(-wx // nx)
+                # tiny nx (< the vreg-sized halo): tile whole periods
+                reps = 1 + -(-(wx + hl) // nx)
                 s0 = (-hl) % nx
                 base = jnp.concatenate([a] * reps, axis=-1)
                 sref[...] = base[:, s0 : s0 + wx]
@@ -621,7 +635,8 @@ def build_cheb_pass(
         has_area=stencil.area is not None,
         drop_pre=drop_pre,
         land_gain=land_gain,
-        wx=_lane_width(nx, halo),
+        wx=_ext_geometry(nx, halo)[0],
+        xhl=_ext_geometry(nx, halo)[1],
     )
     grid_call = _build_pass_call(cfg)
 
@@ -657,7 +672,7 @@ def host_ext_inputs(
     payload.
     """
     br, halo = plan.br, plan.halo
-    wx = _lane_width(nx, halo)
+    wx, xhl = _ext_geometry(nx, halo)
     fold = stencil.fold_north
     npdt = np.dtype(dtype)
     neg2s = npdt.type(-2.0 * lap_scale)
@@ -673,19 +688,19 @@ def host_ext_inputs(
     out = [
         ext_blocks_np(
             _host(getattr(stencil, k)), br, halo, fold,
-            _full(getattr(stencil, _MIRROR_SWAP[k])), wx=wx,
+            _full(getattr(stencil, _MIRROR_SWAP[k])), wx=wx, xhl=xhl,
         )
         for k in _coef_arrays(stencil)
     ]
     if stencil.pre is not None:
         pre = np.asarray(stencil.pre, dtype=npdt)  # pre is NOT scaled
-        out.append(ext_blocks_np(pre, br, halo, fold, pre, wx=wx))
+        out.append(ext_blocks_np(pre, br, halo, fold, pre, wx=wx, xhl=xhl))
     if stencil.post is not None:
         post = np.asarray(stencil.post, dtype=npdt)  # post is NOT scaled
-        out.append(ext_blocks_np(post, br, halo, fold, post, wx=wx))
+        out.append(ext_blocks_np(post, br, halo, fold, post, wx=wx, xhl=xhl))
     if stencil.area is not None:
         area = np.asarray(stencil.area, dtype=npdt)  # area is NOT scaled
-        out.append(ext_blocks_np(area, br, halo, fold, area, wx=wx))
+        out.append(ext_blocks_np(area, br, halo, fold, area, wx=wx, xhl=xhl))
     return out
 
 
@@ -731,7 +746,8 @@ def build_local_pass(
         last_pass=last_pass,
         lap_scale=lap_scale,
         dtype=dtype,
-        wx=_lane_width(nx, halo),
+        wx=_ext_geometry(nx, halo)[0],
+        xhl=_ext_geometry(nx, halo)[1],
     )
     grid_call = _build_pass_call(cfg)
 

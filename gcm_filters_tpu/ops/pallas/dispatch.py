@@ -40,6 +40,7 @@ from ...filter_spec import FilterSpec
 from ..stencil import ScalarStencil5
 from .cheb_pass import (
     _coef_arrays,
+    _ext_geometry,
     build_cheb_pass,
     host_ext_inputs,
     plan_passes,
@@ -177,7 +178,7 @@ def make_pallas_scalar_apply(
         """Compile the 2-D apply for one (shape, dtype); returns (fn, extras)."""
         plan = plan_passes(
             ny,
-            nx,
+            _ext_geometry(nx, 16)[0],  # VMEM budget at the aligned width
             n_steps=spec.n_steps,
             # area (and, in exact-NaN mode, pre) ride the ext layout too
             n_coef=len(_coef_arrays(hot_host))

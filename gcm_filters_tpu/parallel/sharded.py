@@ -231,32 +231,37 @@ def local_scalar_coef_exts(
         return None
     cells, khalo, br, rows_p, _ = planned
     pad_rows = rows_p - (ly + 2 * cells)
-    # must match build_local_pass's internal lane-aligned compute width
-    wx = _lane_width(lx + 2 * cells, khalo)
+    # zero-pad columns up to the lane tile: the kernel then runs at an
+    # aligned width (measured ~1.3x on unaligned widths, see cheb_pass).
+    # Pad garbage entering through the roll wrap degrades the outer halo
+    # columns exactly as the pre-existing local wrap garbage did.
+    cols_p = _lane_width(lx + 2 * cells, 0)
 
     hot = dataclasses.replace(st, pre=None) if drop_pre else st
     ext_st = _extend_scalar_stencil(hot, cells, y_axis, x_axis)
 
+    pad_cols = cols_p - (lx + 2 * cells)
+
     def pad(a):
-        cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
-        return jnp.pad(a, cfgpad) if pad_rows else a
+        cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, pad_cols)]
+        return jnp.pad(a, cfgpad) if (pad_rows or pad_cols) else a
 
     # Array coefficients are pre-scaled by -2*lap_scale (the pass kernel's
     # coefficient convention; pre/post are NOT scaled).
     neg2s = np.dtype(dtype).type(-2.0 * lap_scale)
     coef_exts = [
         ext_blocks_jnp(
-            pad(getattr(ext_st, k)).astype(dtype) * neg2s, br, khalo, wx=wx
+            pad(getattr(ext_st, k)).astype(dtype) * neg2s, br, khalo
         )
         for k in host_coef_names
     ]
     if keep_pre:
         coef_exts.append(
-            ext_blocks_jnp(pad(ext_st.pre).astype(dtype), br, khalo, wx=wx)
+            ext_blocks_jnp(pad(ext_st.pre).astype(dtype), br, khalo)
         )
     if has_post:
         coef_exts.append(
-            ext_blocks_jnp(pad(ext_st.post).astype(dtype), br, khalo, wx=wx)
+            ext_blocks_jnp(pad(ext_st.post).astype(dtype), br, khalo)
         )
     return tuple(coef_exts)
 
@@ -303,12 +308,15 @@ def local_pallas_rounds_scalar(
     if planned is None:
         return None
     cells, khalo, br, rows_p, rounds = planned
+    from ..ops.pallas.cheb_pass import _lane_width
     cols_e = lx + 2 * cells
+    cols_p = _lane_width(cols_e, 0)  # lane-aligned kernel width (zero pad)
     pad_rows = rows_p - (ly + 2 * cells)
+    pad_cols = cols_p - cols_e
 
     def pad(a):
-        cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
-        return jnp.pad(a, cfgpad) if pad_rows else a
+        cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, pad_cols)]
+        return jnp.pad(a, cfgpad) if (pad_rows or pad_cols) else a
 
     if coef_exts is None:
         # build in-trace (single-device pad-to-block path; the sharded
@@ -331,7 +339,7 @@ def local_pallas_rounds_scalar(
         first = m == 0
         last = m == len(rounds) - 1
         pass_fn = build_local_pass(
-            rows_p, cols_e, dtype, br, khalo, n_ops,
+            rows_p, cols_p, dtype, br, khalo, n_ops,
             host_coef_names, host_consts, has_post,
             zap=(False if drop_pre else st.zap_nans),
             lap_scale=lap_scale, first_pass=first, last_pass=last,
