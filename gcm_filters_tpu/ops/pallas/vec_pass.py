@@ -46,6 +46,7 @@ from ..stencil import BGridVectorStencil
 from .cheb_pass import (
     _VMEM_BUDGET_WIDE,
     _VMEM_LIMIT_BYTES,
+    _ext_geometry,
     PassPlan,
     ext_blocks_np,
 )
@@ -93,7 +94,11 @@ def _plan_coupled(
     falling back to balanced multi-pass splits only when the single-pass
     window exceeds the wide-VMEM budget.
     """
-    budget_rows = (_VMEM_BUDGET_WIDE - margin) // (nx * itemsize)
+    # Budget at the kernel's internal lane-aligned compute width (the x-leg
+    # of the trapezoid, see cheb_pass._ext_geometry) — that is the width the
+    # windows actually occupy in VMEM.
+    budget_rows = (_VMEM_BUDGET_WIDE - margin) // (
+        _ext_geometry(nx, 16)[0] * itemsize)
     brs = [b for b in range(8, min(ny, _BR_MAX) + 1, 8) if ny % b == 0]
     if not brs:
         return None
@@ -157,11 +162,11 @@ def host_vec_ext_inputs(
     pre-scaled by -2*lap_scale (the pass kernels' coefficient convention)."""
     npdt = np.dtype(dtype)
     neg2s = npdt.type(-2.0 * lap_scale)
-    return [
-        ext_blocks_np(np.asarray(getattr(op, k), dtype=npdt) * neg2s,
-                      plan.br, plan.halo)
-        for k in (*_DIFF, *_MIX)
-    ]
+    arrs = [np.asarray(getattr(op, k), dtype=npdt) * neg2s
+            for k in (*_DIFF, *_MIX)]
+    wx, xhl = _ext_geometry(arrs[0].shape[-1], plan.halo)
+    return [ext_blocks_np(a, plan.br, plan.halo, wx=wx, xhl=xhl)
+            for a in arrs]
 
 
 def host_ctap_ext_inputs(taps, plan: PassPlan, dtype, lap_scale: float):
@@ -169,11 +174,11 @@ def host_ctap_ext_inputs(taps, plan: PassPlan, dtype, lap_scale: float):
     pre-scaled by -2*lap_scale."""
     npdt = np.dtype(dtype)
     neg2s = npdt.type(-2.0 * lap_scale)
-    return [
-        ext_blocks_np(np.asarray(taps[name], dtype=npdt) * neg2s,
-                      plan.br, plan.halo)
-        for name in _CTAP_NAMES
-    ]
+    arrs = [np.asarray(taps[name], dtype=npdt) * neg2s
+            for name in _CTAP_NAMES]
+    wx, xhl = _ext_geometry(arrs[0].shape[-1], plan.halo)
+    return [ext_blocks_np(a, plan.br, plan.halo, wx=wx, xhl=xhl)
+            for a in arrs]
 
 
 def _bgrid_lap(c, g, gN, gS, gE, gW):
@@ -238,10 +243,17 @@ def _build_coupled_pass(
     assert n_ops <= halo and halo <= br and ny % br == 0
     nb = ny // br
     win = br + 2 * halo
+    wx, hl = _ext_geometry(nx, halo)
+    ext_x = wx != nx
+    wr = wx - nx - hl
     npdt = np.dtype(dtype)
     half = npdt.type(0.5)
     n_fields = 1 if first_pass else 2
     n_p = n_ops + 1 if first_pass else n_ops
+
+    def xslice(a):
+        # hl is a vreg multiple, so this is a pure vreg-to-vreg copy
+        return a[..., hl : hl + nx] if ext_x else a
 
     def kernel(p_ref, *refs):
         refs = list(refs)
@@ -249,10 +261,32 @@ def _build_coupled_pass(
         acc_ref = None if first_pass else refs.pop(0)
         coef_refs = {k: refs.pop(0) for k in coef_names}
         if last_pass:
-            (acc_out,) = refs
+            acc_out = refs.pop(0)
             w1_out = w2_out = None
         else:
-            w1_out, w2_out, acc_out = refs
+            w1_out, w2_out, acc_out = refs.pop(0), refs.pop(0), refs.pop(0)
+        scratches = refs  # x-extension staging buffers (ext_x only)
+
+        def xext(a):
+            """Wrap-extend the stacked window along lanes to the aligned
+            compute width through a VMEM scratch (see cheb_pass.xext: the
+            vreg-aligned offset hl=128 makes the main store a pure
+            vreg-to-vreg copy; roll-wrap garbage at the aligned edges walks
+            inward one column per step and never reaches the real zone)."""
+            if not ext_x:
+                return a
+            sref = scratches.pop(0)
+            if nx >= hl and nx >= wr:
+                sref[:, :, hl : hl + nx] = a
+                sref[:, :, :hl] = a[:, :, nx - hl :]
+                sref[:, :, hl + nx :] = a[:, :, :wr]
+            else:
+                # tiny nx (< the vreg-sized halo): tile whole periods
+                reps = 1 + -(-(wx + hl) // nx)
+                s0 = (-hl) % nx
+                base = jnp.concatenate([a] * reps, axis=-1)
+                sref[...] = base[:, :, s0 : s0 + wx]
+            return sref[...]
 
         def window(views):
             own, prev, nxt = views
@@ -273,14 +307,14 @@ def _build_coupled_pass(
 
         own = slice(halo, halo + br)
         if first_pass:
-            prev = window(f_views[0])
+            prev = xext(window(f_views[0]))
             cur = -prev + half * lap(prev)
             acc = p_ref[0, 0] * prev[:, own] + p_ref[0, 1] * cur[:, own]
             p_off = 2
         else:
-            cur = window(f_views[0])
-            prev = window(f_views[1])
-            acc = acc_ref[...]
+            cur = xext(window(f_views[0]))
+            prev = xext(window(f_views[1]))
+            acc = xext(acc_ref[...])
             p_off = 0
 
         n_rec = n_ops - 1 if first_pass else n_ops
@@ -290,9 +324,9 @@ def _build_coupled_pass(
             prev, cur = cur, nxt
 
         if not last_pass:
-            w1_out[...] = cur[:, own]
-            w2_out[...] = prev[:, own]
-        acc_out[...] = acc
+            w1_out[...] = xslice(cur[:, own])
+            w2_out[...] = xslice(prev[:, own])
+        acc_out[...] = xslice(acc)
 
     def blk(index_map=lambda i: (0, i, 0)):
         return pl.BlockSpec((2, br, nx), index_map, memory_space=pltpu.VMEM)
@@ -310,9 +344,17 @@ def _build_coupled_pass(
     if not first_pass:
         in_specs.append(blk())
     in_specs += [
-        pl.BlockSpec((1, win, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, win, wx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         for _ in range(len(coef_names))
     ]
+
+    scratch_shapes = []
+    if ext_x:
+        scratch_shapes += [
+            pltpu.VMEM((2, win, wx), dtype) for _ in range(n_fields)
+        ]
+        if not first_pass:
+            scratch_shapes.append(pltpu.VMEM((2, br, wx), dtype))  # acc
 
     n_out = 1 if last_pass else 3
     grid_call = pl.pallas_call(
@@ -323,10 +365,11 @@ def _build_coupled_pass(
         out_shape=[
             jax.ShapeDtypeStruct((2, ny, nx), dtype) for _ in range(n_out)
         ],
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=4 * len(coef_names) * n_ops * nb * win * nx,
+            flops=4 * len(coef_names) * n_ops * nb * win * wx,
             bytes_accessed=(6 * n_fields + 2 * n_out + 2) * ny * nx
-            * npdt.itemsize + len(coef_names) * nb * win * nx * npdt.itemsize,
+            * npdt.itemsize + len(coef_names) * nb * win * wx * npdt.itemsize,
             transcendentals=0,
         ),
         # lift Mosaic's default 16 MiB scoped-vmem cap: the fast configs

@@ -635,9 +635,10 @@ def _plan_local_coupled(ly, lx, n_steps, n_ext, itemsize, halo_steps,
         steps = _balanced(n_steps, k)
         cells = max(steps)
         halo = -(-cells // 4) * 4
-        cols_e = lx + 2 * cells
+        from ..ops.pallas.cheb_pass import _lane_width
+        cols_p = _lane_width(lx + 2 * cells, 0)  # zero-padded kernel width
         rows_e = ly + 2 * cells
-        budget_rows = (_VMEM_BUDGET_WIDE - (1 << 20)) // (cols_e * itemsize)
+        budget_rows = (_VMEM_BUDGET_WIDE - (1 << 20)) // (cols_p * itemsize)
         cands = []
         cand = max(8, 8 * ((halo + 7) // 8))
         cap = min(_BR_MAX, 8 * ((rows_e + 7) // 8))
@@ -737,10 +738,15 @@ def make_sharded_vector_apply(
         )
         cells, khalo, br, rows_p, _ = planned
         pad_rows = rows_p - (ly + 2 * cells)
+        # zero-pad columns up to the lane tile (same scheme as the scalar
+        # local path: the kernel runs at an aligned width; pad garbage enters
+        # only via roll wrap and degrades the discarded halo columns)
+        from ..ops.pallas.cheb_pass import _lane_width
+        pad_cols = _lane_width(lx + 2 * cells, 0) - (lx + 2 * cells)
 
         def pad(a):
-            cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
-            return jnp.pad(a, cfgpad) if pad_rows else a
+            cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, pad_cols)]
+            return jnp.pad(a, cfgpad) if (pad_rows or pad_cols) else a
 
         ext_op = _extend_vector_operator(op, cells, y_axis, x_axis)
         npdt = np.dtype(dtype)
@@ -769,13 +775,15 @@ def make_sharded_vector_apply(
             np.dtype(dtype).itemsize, halo_steps, br_target=_br_tgt,
         )
         cells, khalo, br, rows_p, rounds = planned
-        cols_e = lx + 2 * cells
+        from ..ops.pallas.cheb_pass import _lane_width
+        cols_p = _lane_width(lx + 2 * cells, 0)  # lane-aligned kernel width
         pad_rows = rows_p - (ly + 2 * cells)
+        pad_cols = cols_p - (lx + 2 * cells)
         plan = PassPlan(br=br, halo=khalo, steps=rounds)
 
         def pad(a):
-            cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, 0)]
-            return jnp.pad(a, cfgpad) if pad_rows else a
+            cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, pad_rows), (0, pad_cols)]
+            return jnp.pad(a, cfgpad) if (pad_rows or pad_cols) else a
 
         if coef_exts is None:
             coef_exts = _local_coef_exts(op, ly, lx, dtype)
@@ -790,7 +798,7 @@ def make_sharded_vector_apply(
         for m, n_ops in enumerate(rounds):
             first = m == 0
             last = m == len(rounds) - 1
-            pass_fn = build(rows_p, cols_e, dtype, plan, n_ops, first, last,
+            pass_fn = build(rows_p, cols_p, dtype, plan, n_ops, first, last,
                             zap=operator.zap_nans)
             if first:
                 w0 = jnp.stack([u, v]) if is_ctap \

@@ -14,11 +14,30 @@ tolerance:
 plus an odd-shape (pad-to-block) scalar case. Fallback telemetry is checked
 so a silent Pallas->XLA pin cannot make comparison (1) vacuous.
 
+Production-config coverage (round-3 VERDICT item #4): the 256x512 gate
+selects different compiled artifacts than the 2400x3600 workloads the
+benchmarks advertise, so `_prod_cases()` additionally verifies, at full
+production shape, the exact configs the numbers are claimed for:
+
+  - the headline scalar tripolar Gaussian factor-10 (single-pass br=48,
+    const-embedded extended coefficients),
+  - the Taper n_steps=39 multi-pass split,
+  - both vector operators (C-grid tap kernel, B-grid coupled kernel),
+  - IRREGULAR_WITH_LAND, whose ~330 MB of extended coefficient blocks
+    exceed _CONST_EMBED_LIMIT and exercise the runtime-argument path.
+
+Inputs are regenerated deterministically on both sides (seeded); only the
+f32-cast float64 goldens are stored (.verify_golden_prod.npz). Comparisons
+upload the golden and reduce ON CHIP (scalar readbacks only - a 35 MB
+download through the tunnel is slow, an upload is paid once per case).
+
 Two phases (one command each):
 
   python verify_tpu.py --golden     # CPU+f64 subprocess: inputs + goldens -> .verify_golden.npz
   python verify_tpu.py              # on the chip: runs both phases (spawns the golden
                                     # subprocess if the npz is missing), writes VERIFY_TPU.json
+  ... --quick                       # skip the 2400x3600 production cases
+  ... --golden-prod                 # (subprocess) production goldens only
 
 Tunnel notes: inputs/results are ~0.5 MB f32 each — full transfers at this
 size are fine through axon; only timing-sensitive work must avoid them.
@@ -37,6 +56,8 @@ import sys
 import numpy as np
 
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), ".verify_golden.npz")
+GOLDEN_PROD_PATH = os.path.join(
+    os.path.dirname(__file__), ".verify_golden_prod.npz")
 OUT_PATH = os.path.join(os.path.dirname(__file__), "VERIFY_TPU.json")
 
 NY, NX = 256, 512
@@ -106,6 +127,109 @@ def _make_vector_inputs(grid_type, shape):
     return (u, v), grid_vars
 
 
+PROD_NY, PROD_NX = 2400, 3600
+
+
+def _prod_cases():
+    """Production-shape cases: (name, grid_type, filter_kwargs).
+
+    These select exactly the compiled artifacts the benchmarks run
+    (benchmarks/bench_suite.py configs at 2400x3600): the single-pass br=48
+    scalar + const-embed path, the Taper multi-pass split, the two vector
+    kernels, and the >_CONST_EMBED_LIMIT runtime-argument path (IRREGULAR
+    streams ~6 extended coefficient arrays at ~55 MB each).
+    """
+    from gcm_filters_tpu import FilterShape, GridType as G
+
+    return [
+        ("prod_tripolar_gaussian",
+         G.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+         dict(filter_scale=10.0, dx_min=1.0)),
+        ("prod_tripolar_taper39",
+         G.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+         dict(filter_scale=10.0, dx_min=1.0,
+              filter_shape=FilterShape.TAPER)),
+        ("prod_irregular_runtime_args", G.IRREGULAR_WITH_LAND,
+         dict(filter_scale=10.0, dx_min=1.0)),
+        ("prod_vector_c", G.VECTOR_C_GRID,
+         dict(filter_scale=10.0, dx_min=1.0)),
+        ("prod_vector_b", G.VECTOR_B_GRID,
+         dict(filter_scale=10.0, dx_min=1.0)),
+    ]
+
+
+def _make_prod_scalar_inputs(grid_type):
+    """Deterministic 2400x3600 scalar inputs (the bench.py construction for
+    the tripolar headline; unit-scale irregular metrics like the test
+    fixtures). f32-valued so chip and golden phases consume identical bits."""
+    from gcm_filters_tpu.models.grids import GRID_VAR_NAMES
+
+    ny, nx = PROD_NY, PROD_NX
+    rng = np.random.default_rng(42)
+    wet = np.ones((ny, nx))
+    wet[0, :] = 0  # Antarctica
+    wet[: ny // 6, : nx // 5] = 0  # idealized continent
+    area = (0.9 + 0.2 * rng.random((ny, nx))).astype(np.float32)
+    grid_vars = {}
+    for name in GRID_VAR_NAMES[grid_type]:
+        if name == "wet_mask":
+            grid_vars[name] = wet
+        elif name == "area":
+            grid_vars[name] = area.astype(np.float64)
+        elif "kappa" in name:
+            grid_vars[name] = np.ones((ny, nx))
+        else:  # dxw/dyw/dxs/dys metrics
+            grid_vars[name] = (
+                0.9 + 0.2 * rng.random((ny, nx))
+            ).astype(np.float32).astype(np.float64)
+    data = rng.random((ny, nx)).astype(np.float32)
+    return data, grid_vars
+
+
+def _make_prod_inputs(name, grid_type):
+    from gcm_filters_tpu.models.grids import is_vector_grid
+
+    if is_vector_grid(grid_type):
+        return _make_vector_inputs(grid_type, (PROD_NY, PROD_NX))
+    return _make_prod_scalar_inputs(grid_type)
+
+
+def phase_golden_prod():
+    """CPU float64 goldens for the production cases -> GOLDEN_PROD_PATH.
+
+    Only the f32-cast goldens are stored (inputs regenerate from seeds);
+    the f32 cast costs ~1e-7 relative against the 1e-5 gate.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from gcm_filters_tpu import Filter
+    from gcm_filters_tpu.models.grids import is_vector_grid
+
+    store = {}
+    for name, grid_type, kw in _prod_cases():
+        if is_vector_grid(grid_type):
+            (u, v), grid_vars = _make_prod_inputs(name, grid_type)
+            filt = Filter(grid_type=grid_type, grid_vars=grid_vars,
+                          use_pallas=False, **kw)
+            gu, gv = filt.apply_to_vector(u.astype(np.float64),
+                                          v.astype(np.float64))
+            store[f"{name}/golden_u"] = np.asarray(gu, np.float32)
+            store[f"{name}/golden_v"] = np.asarray(gv, np.float32)
+        else:
+            data, grid_vars = _make_prod_inputs(name, grid_type)
+            filt = Filter(grid_type=grid_type, grid_vars=grid_vars,
+                          use_pallas=False, **kw)
+            golden = filt.apply(data.astype(np.float64))
+            store[f"{name}/golden"] = np.asarray(golden, np.float32)
+        store[f"{name}/n_steps"] = np.int64(filt.n_steps)
+        print(f"  golden {name}: n_steps={filt.n_steps}", flush=True)
+    np.savez(GOLDEN_PROD_PATH, **store)
+    print(f"production golden phase -> {GOLDEN_PROD_PATH}")
+
+
 def phase_golden():
     """CPU float64 phase: build deterministic inputs (f32-valued, so the
     chip consumes bit-identical data) and XLA-engine f64 goldens."""
@@ -155,7 +279,7 @@ def _norm_max_err(got, want):
     return float(np.max(np.abs(np.asarray(got, np.float64) - want))) / scale
 
 
-def phase_tpu():
+def phase_tpu(quick=False):
     import jax
     import jax.numpy as jnp
 
@@ -276,10 +400,56 @@ def phase_tpu():
         "fell_back": bool(telemetry.fallback_counts()),
     })
 
+    # ---- production-shape cases (2400x3600): the exact compiled artifacts
+    # the benchmarks advertise, vs f32-cast f64 goldens, reduced on-chip.
+    if not quick:
+        from gcm_filters_tpu.models.grids import is_vector_grid
+
+        zp = np.load(GOLDEN_PROD_PATH)
+        for name, grid_type, kw in _prod_cases():
+            telemetry.reset_fallback_counts()
+            try:
+                entry = {}
+                if is_vector_grid(grid_type):
+                    (u, v), grid_vars = _make_prod_inputs(name, grid_type)
+                    f_pl = Filter(grid_type=grid_type, grid_vars=grid_vars,
+                                  dtype=jnp.float32, use_pallas=True, **kw)
+                    assert f_pl.n_steps == int(zp[f"{name}/n_steps"])
+                    pu, pv = f_pl.apply_to_vector(jnp.asarray(u),
+                                                  jnp.asarray(v))
+                    gu = jnp.asarray(zp[f"{name}/golden_u"])
+                    gv_ = jnp.asarray(zp[f"{name}/golden_v"])
+                    scale = float(jnp.maximum(jnp.max(jnp.abs(gu)),
+                                              jnp.max(jnp.abs(gv_)))) or 1.0
+                    err = float(jnp.maximum(jnp.max(jnp.abs(pu - gu)),
+                                            jnp.max(jnp.abs(pv - gv_))))
+                    entry["pallas_vs_f64_golden"] = err / scale
+                else:
+                    data, grid_vars = _make_prod_inputs(name, grid_type)
+                    f_pl = Filter(grid_type=grid_type, grid_vars=grid_vars,
+                                  dtype=jnp.float32, use_pallas=True, **kw)
+                    assert f_pl.n_steps == int(zp[f"{name}/n_steps"])
+                    p = f_pl.apply(jnp.asarray(data))
+                    g = jnp.asarray(zp[f"{name}/golden"])
+                    wet = grid_vars.get("wet_mask")
+                    m = (jnp.asarray(np.asarray(wet) > 0) if wet is not None
+                         else jnp.ones(g.shape, bool))
+                    scale = float(jnp.max(jnp.where(m, jnp.abs(g), 0))) or 1.0
+                    err = float(jnp.max(jnp.where(m, jnp.abs(p - g), 0)))
+                    entry["pallas_vs_f64_golden"] = err / scale
+                entry["n_steps"] = int(zp[f"{name}/n_steps"])
+                entry["fell_back"] = bool(telemetry.fallback_counts())
+                record(name, entry)
+            except Exception as e:  # compile/transport failure is a FAIL row
+                ok_all = False
+                results[name] = {"pass": False, "error": repr(e)[:300]}
+                print(f"  FAIL {name}: {e!r}")
+
     report = {
         "platform": platform,
         "tolerance": TOL,
         "shape": [NY, NX],
+        "prod_shape": None if quick else [PROD_NY, PROD_NX],
         "ok": ok_all,
         "cases": results,
     }
@@ -294,10 +464,19 @@ def main():
     if "--golden" in sys.argv:
         phase_golden()
         return 0
+    if "--golden-prod" in sys.argv:
+        phase_golden_prod()
+        return 0
+    quick = "--quick" in sys.argv
     if not os.path.exists(GOLDEN_PATH):
         print("golden file missing; computing on CPU (subprocess)...")
         subprocess.run([sys.executable, __file__, "--golden"], check=True)
-    return phase_tpu()
+    if not quick and not os.path.exists(GOLDEN_PROD_PATH):
+        print("production golden file missing; computing on CPU "
+              "(subprocess, several minutes)...")
+        subprocess.run([sys.executable, __file__, "--golden-prod"],
+                       check=True)
+    return phase_tpu(quick=quick)
 
 
 if __name__ == "__main__":
