@@ -26,7 +26,9 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import gcm_filters_tpu as gf
+import roofline
 
 HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5": 2765.0}
 
@@ -141,12 +143,12 @@ def main():
             row = dict(grid=grid.name, path="pallas" if pallas else "xla",
                        n_steps=filt.n_steps, ms=round(dt * 1e3, 3),
                        gps=round(gps / 1e9, 2))
-            if hbm:
-                # multi-step pass: ~(6 + coefs)/S streams/step + carry; report
-                # achieved bandwidth as filter bytes moved / time, vs HBM peak
-                row["eff_bw_gbps"] = round(
-                    ny * nx * 4 * filt.n_steps * 2 / dt / 1e9, 1
-                )
+            if pallas:
+                # per-config two-ceiling roofline model (HBM bytes moved and
+                # VPU op count, vs v5e speed-of-light; see roofline.py)
+                model = roofline.scalar_model(filt, ny, nx, dt)
+                if model:
+                    row.update(model)
             results.append(row)
             print(json.dumps(row), flush=True)
 
@@ -164,6 +166,10 @@ def main():
                    path="pallas" if pallas else "xla",
                    n_steps=filt.n_steps, ms=round(dt * 1e3, 3),
                    gps=round(ny * nx * filt.n_steps / dt / 1e9, 2))
+        if pallas:
+            model = roofline.scalar_model(filt, ny, nx, dt)
+            if model:
+                row.update(model)
         results.append(row)
         print(json.dumps(row), flush=True)
 
@@ -179,6 +185,10 @@ def main():
             row = dict(grid=grid.name, path="pallas" if pallas else "xla",
                        n_steps=filt.n_steps, ms=round(dt * 1e3, 3),
                        gps=round(2 * ny * nx * filt.n_steps / dt / 1e9, 2))
+            if pallas:
+                model = roofline.vector_model(filt, ny, nx, dt)
+                if model:
+                    row.update(model)
             results.append(row)
             print(json.dumps(row), flush=True)
 
