@@ -719,6 +719,10 @@ def build_local_pass(
     first_pass: bool,
     last_pass: bool,
     has_pre: bool = False,
+    fuse_ends: bool = False,
+    has_area: bool = False,
+    drop_pre: bool = False,
+    land_gain: float = 0.0,
 ):
     """Build the per-shard inner pass for the shard_map engine.
 
@@ -730,6 +734,14 @@ def build_local_pass(
     the device-level halo exchange already placed the fold/neighbor data, so
     wrap garbage at the domain edges stays confined to the halo zone that the
     caller discards.
+
+    With ``fuse_ends`` the same end fusion as :func:`build_cheb_pass`
+    applies: the first pass consumes the RAW (halo-extended, padded) field
+    and performs prepare (*area) + h-space masking in-window; the last pass
+    performs the land reconstruction + finalize (/area). The caller's
+    coefficient exts must then also carry [pre], [post], [area] extended
+    blocks in host_ext_inputs order, and the last pass of a multi-round
+    schedule takes the padded raw field as its trailing argument.
 
       pass_fn(p_chunk, coef_exts, *fields_and_acc) -> same as build_cheb_pass
     """
@@ -746,6 +758,10 @@ def build_local_pass(
         last_pass=last_pass,
         lap_scale=lap_scale,
         dtype=dtype,
+        fuse_ends=fuse_ends,
+        has_area=has_area,
+        drop_pre=drop_pre,
+        land_gain=land_gain,
         wx=_ext_geometry(nx, halo)[0],
         xhl=_ext_geometry(nx, halo)[1],
     )
@@ -757,7 +773,9 @@ def build_local_pass(
         for f in fields:
             args += [f, f, f]
         if not first_pass:
-            args.append(fields_and_acc[cfg.n_fields])
+            args.append(fields_and_acc[cfg.n_fields])  # acc
+            if last_pass and fuse_ends and drop_pre:
+                args.append(fields_and_acc[cfg.n_fields + 1])  # raw field
         args += list(coef_exts)
         out = grid_call(*args)
         return out[0] if last_pass else tuple(out)

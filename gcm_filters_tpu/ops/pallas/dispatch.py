@@ -243,7 +243,8 @@ def make_pallas_scalar_apply(
         }
         padded_plan = _plan_local_pallas(
             ny, nx, spec.n_steps,
-            len(host_coef_names) + int(hot_host.pre is not None),
+            len(host_coef_names) + int(hot_host.pre is not None)
+            + int(hot_host.area is not None),  # area rides the ext blocks
             hot_host.post is not None, np.dtype(dtype).itemsize, None,
         )
         if padded_plan is not None:

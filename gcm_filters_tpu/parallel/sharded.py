@@ -104,7 +104,7 @@ def _plan_rounds(n_steps: int, reach: int, ly: int, lx: int,
 
 
 def _extend_scalar_stencil(
-    st: ScalarStencil5, cells: int, y_axis, x_axis
+    st: ScalarStencil5, cells: int, y_axis, x_axis, keep_area: bool = False
 ) -> ScalarStencil5:
     """Halo-extend every spatial coefficient of a scalar stencil by ``cells``.
 
@@ -112,7 +112,10 @@ def _extend_scalar_stencil(
     partner's *swapped* coefficient (reflection maps n<->s, e<->w), which is
     what keeps intermediate trapezoid steps exact across the seam. The
     returned stencil is purely local: fold_north is cleared (the halos carry
-    the seam) and area is dropped (prepare/finalize act on core data only).
+    the seam). ``keep_area`` additionally halo-extends the area array (its
+    seam mirror is itself) for the end-fused local pass, which runs prepare/
+    finalize in-window; by default area is dropped (prepare/finalize act on
+    core data only).
     """
     fold = st.fold_north
 
@@ -135,7 +138,7 @@ def _extend_scalar_stencil(
         **coefs,
         pre=ext(st.pre, st.pre),
         post=ext(st.post, st.post),
-        area=None,
+        area=ext(st.area, st.area) if keep_area else None,
         fold_north=False,
     )
 
@@ -223,8 +226,10 @@ def local_scalar_coef_exts(
 
     has_post = st.post is not None
     keep_pre = st.pre is not None and not drop_pre  # exact-NaN mode
+    has_area = st.area is not None
     planned = _plan_local_pallas(
-        ly, lx, n_steps, len(host_coef_names) + int(keep_pre), has_post,
+        ly, lx, n_steps,
+        len(host_coef_names) + int(keep_pre) + int(has_area), has_post,
         np.dtype(dtype).itemsize, halo_steps,
     )
     if planned is None:
@@ -238,7 +243,8 @@ def local_scalar_coef_exts(
     cols_p = _lane_width(lx + 2 * cells, 0)
 
     hot = dataclasses.replace(st, pre=None) if drop_pre else st
-    ext_st = _extend_scalar_stencil(hot, cells, y_axis, x_axis)
+    ext_st = _extend_scalar_stencil(hot, cells, y_axis, x_axis,
+                                    keep_area=True)
 
     pad_cols = cols_p - (lx + 2 * cells)
 
@@ -247,7 +253,7 @@ def local_scalar_coef_exts(
         return jnp.pad(a, cfgpad) if (pad_rows or pad_cols) else a
 
     # Array coefficients are pre-scaled by -2*lap_scale (the pass kernel's
-    # coefficient convention; pre/post are NOT scaled).
+    # coefficient convention; pre/post/area are NOT scaled).
     neg2s = np.dtype(dtype).type(-2.0 * lap_scale)
     coef_exts = [
         ext_blocks_jnp(
@@ -262,6 +268,11 @@ def local_scalar_coef_exts(
     if has_post:
         coef_exts.append(
             ext_blocks_jnp(pad(ext_st.post).astype(dtype), br, khalo)
+        )
+    if has_area:
+        # end fusion: prepare/finalize run in-window in the local pass
+        coef_exts.append(
+            ext_blocks_jnp(pad(ext_st.area).astype(dtype), br, khalo)
         )
     return tuple(coef_exts)
 
@@ -301,8 +312,10 @@ def local_pallas_rounds_scalar(
     ly, lx = field.shape[-2:]
     has_post = st.post is not None
     keep_pre = st.pre is not None and not drop_pre  # exact-NaN mode
+    has_area = st.area is not None
     planned = _plan_local_pallas(
-        ly, lx, n_steps, len(host_coef_names) + int(keep_pre), has_post,
+        ly, lx, n_steps,
+        len(host_coef_names) + int(keep_pre) + int(has_area), has_post,
         np.dtype(dtype).itemsize, halo_steps,
     )
     if planned is None:
@@ -326,14 +339,19 @@ def local_pallas_rounds_scalar(
             host_coef_names, y_axis, x_axis, halo_steps,
         )
 
+    # END FUSION (round-3): the first pass consumes the RAW halo-extended
+    # field and performs prepare (*area) + h-space masking in-window; the
+    # last pass performs the land reconstruction + finalize (/area). The
+    # XLA prologue/epilogue that used to bracket the rounds (prepare, mask,
+    # where-reconstruction, finalize — ~4 full-array passes) is gone; the
+    # area/pre/post streams ride the prepared extended coefficient blocks.
     fold = st.fold_north
-    fbar = st.prepare(field)
-    h = st.pre * jnp.nan_to_num(fbar) if drop_pre else fbar
     p = jnp.asarray(p_host, dtype=dtype)
     core = lambda a: a[..., cells : cells + ly, cells : cells + lx]
 
     state = None
     acc = None
+    ext_raw = None
     off = 0
     for m, n_ops in enumerate(rounds):
         first = m == 0
@@ -343,16 +361,19 @@ def local_pallas_rounds_scalar(
             host_coef_names, host_consts, has_post,
             zap=(False if drop_pre else st.zap_nans),
             lap_scale=lap_scale, first_pass=first, last_pass=last,
-            has_pre=keep_pre,
+            has_pre=keep_pre, fuse_ends=True, has_area=has_area,
+            drop_pre=drop_pre, land_gain=land_gain,
         )
         if first:
-            ext = pad(halo.exchange_2d(h, cells, y_axis, x_axis, fold))
-            fields = (ext,)
+            ext_raw = pad(halo.exchange_2d(field, cells, y_axis, x_axis, fold))
+            fields = (ext_raw,)
         else:
             cur, prev = state
             stacked = jnp.stack([cur, prev])
             ext = pad(halo.exchange_2d(stacked, cells, y_axis, x_axis, fold))
             fields = (ext[0], ext[1], acc)
+            if last and drop_pre:
+                fields = fields + (ext_raw,)  # raw field for reconstruction
         n_p = n_ops + 1 if first else n_ops
         out = pass_fn(p[off : off + n_p], coef_exts, *fields)
         off += n_p
@@ -362,11 +383,7 @@ def local_pallas_rounds_scalar(
             state = (core(out[0]), core(out[1]))
             acc = out[2]
 
-    result = core(acc)
-    if drop_pre:
-        # 0*fbar restores wet-cell NaNs scrubbed by the h-space trick
-        result = jnp.where(st.pre == 0, land_gain * fbar, result + 0 * fbar)
-    return st.finalize(result)
+    return core(acc)
 
 
 def make_sharded_scalar_apply(
@@ -476,12 +493,15 @@ def make_sharded_scalar_apply(
     # of the sharded overhead, benchmarks/README.md).
     keep_pre = stencil.pre is not None and not drop_pre
     n_exts = (len(host_coef_names) + int(keep_pre)
-              + int(stencil.post is not None))
+              + int(stencil.post is not None)
+              + int(stencil.area is not None))  # area rides the ext blocks
     ext_spec = P(yax, None, xax)
 
     def _feasible(ly, lx, dtype):
         return _plan_local_pallas(
-            ly, lx, spec.n_steps, len(host_coef_names) + int(keep_pre),
+            ly, lx, spec.n_steps,
+            len(host_coef_names) + int(keep_pre)
+            + int(stencil.area is not None),
             stencil.post is not None, np.dtype(dtype).itemsize, halo_steps,
         )
 
