@@ -251,14 +251,20 @@ class Filter:
 
         An ``xarray.Dataset`` when xarray is installed (the reference's
         exact attribute type); otherwise a plain dict copy — xarray is an
-        optional dependency here.
+        optional dependency here. Grid variables supplied as DataArrays
+        keep their own dim names; plain 2-D arrays get the default
+        ``("y", "x")`` labels.
         """
         xr = _maybe_xarray()
         if xr is not None:
-            return xr.Dataset(
-                {k: (("y", "x"), np.asarray(v)) if np.ndim(v) == 2 else v
-                 for k, v in self.grid_vars.items()}
-            )
+            def entry(v):
+                if hasattr(v, "dims"):  # DataArray: preserve the user's dims
+                    return v
+                if np.ndim(v) == 2:
+                    return (("y", "x"), np.asarray(v))
+                return v
+
+            return xr.Dataset({k: entry(v) for k, v in self.grid_vars.items()})
         return dict(self.grid_vars)
 
     def _coerce(self, arr):
