@@ -76,6 +76,42 @@ COEF_NAMES = ("c", "n", "s", "e", "w")
 # Reflection across the tripolar seam swaps the meaning of the neighbors.
 _MIRROR_SWAP = {"c": "c", "n": "s", "s": "n", "e": "w", "w": "e"}
 
+# Manual-DMA windows (round 3): replace the three blocked neighbor views per
+# field with double-buffered async copies from an ANY(HBM) ref into the
+# lane-aligned VMEM scratch. Motivation (microbenchmarks, /tmp/micro3-5 and
+# the numbers in benchmarks/README.md): the (i+-1) mod nb neighbor-view index
+# maps defeat Mosaic's input pipelining, fully SERIALIZING the window loads
+# with compute (~+190us on the 2400x3712 11-step block sweep), while a single
+# monotone view overlaps its I/O completely; with manual DMA the prefetch of
+# block i+1 is issued before block i's compute by construction. Constraints:
+# HBM slices are (8, 128)-tiled, so row offsets/counts must be 8-aligned
+# (halo rounded to 8, not 4) and the periodic lane strips cannot be DMA'd
+# (filled post-wait by narrow VMEM copies from the already-loaded columns).
+# False until the on-chip A/B lands (interpret-mode exactness is tested
+# either way: tests force True); True = on where eligible.
+_DMA_WINDOWS: bool = False
+
+
+def _dma_on(cfg: "_PassConfig") -> bool:
+    on = _DMA_WINDOWS
+    wx = cfg.wx or cfg.nx
+    wr = wx - cfg.nx - cfg.xhl
+    return (
+        on
+        and cfg.halo % 8 == 0
+        and cfg.br % 8 == 0
+        and cfg.nb >= 2
+        and np.dtype(cfg.dtype).itemsize == 4
+        and (wx == cfg.nx or (cfg.nx >= cfg.xhl and cfg.nx >= wr))
+    )
+
+
+def _halo_mult() -> int:
+    """Plan-halo rounding: 4 keeps window heights sublane-aligned (br+2H);
+    the DMA-window path additionally needs H itself 8-row aligned (HBM
+    slice constraint), at the price of a slightly taller trapezoid."""
+    return 8 if _DMA_WINDOWS else 4
+
 
 def _lane_width(nx: int, halo: int) -> int:
     """nx rounded up to the 128-lane tile, with >= 2*halo margin."""
@@ -179,7 +215,8 @@ def plan_passes(
         return None
 
     if n_steps <= max_fuse:
-        halo = -(-n_steps // 4) * 4  # sublane-aligned single-pass halo
+        hm = _halo_mult()
+        halo = -(-n_steps // hm) * hm  # aligned single-pass halo
         cands = [
             b for b in brs
             if b >= halo and _vmem_rows(
@@ -225,7 +262,8 @@ def plan_passes(
     steps = tuple(base + (1 if i < extra else 0) for i in range(n_pass))
     # Round the halo allocation up so the window height br+2*halo stays a
     # multiple of 8 (sublane tile): unaligned windows measured ~1.5x slower.
-    halo = min(br, -(-max(steps) // 4) * 4)
+    hm = _halo_mult()
+    halo = min(br, -(-max(steps) // hm) * hm)
     return PassPlan(br=br, halo=halo, steps=steps)
 
 
@@ -367,10 +405,18 @@ def _build_pass_call(cfg: _PassConfig):
     # fbar is only needed at own rows for the land reconstruction; area-only
     # grids finalize from acc alone, so don't stream the raw field for them.
     need_field_own = fuse and cfg.last_pass and not cfg.first_pass and cfg.drop_pre
+    dma = _dma_on(cfg)
+    ny = cfg.ny
 
     def kernel(p_ref, *refs):
         refs = list(refs)
-        f_views = [[refs.pop(0) for _ in range(3)] for _ in range(cfg.n_fields)]
+        if dma:
+            f_hbm = [refs.pop(0) for _ in range(cfg.n_fields)]
+            f_views = None
+        else:
+            f_views = [
+                [refs.pop(0) for _ in range(3)] for _ in range(cfg.n_fields)
+            ]
         acc_ref = None if cfg.first_pass else refs.pop(0)
         field_own_ref = refs.pop(0) if need_field_own else None
         mirrors = [refs.pop(0) for _ in range(cfg.n_fields)] if fold else []
@@ -383,9 +429,84 @@ def _build_pass_call(cfg: _PassConfig):
             t1_out = t2_out = None
         else:
             t1_out, t2_out, acc_out = refs.pop(0), refs.pop(0), refs.pop(0)
-        scratches = refs  # x-extension staging buffers (ext_x only)
+        scratches = refs  # DMA window buffers + x-extension staging buffers
+        if dma:
+            sem = scratches.pop()  # DMA semaphores ride last
+            sbufs = [scratches.pop(0) for _ in range(cfg.n_fields)]
 
         i = pl.program_id(0)
+
+        def _window_copies(fi, slot, j, top):
+            """The async-copy descriptors loading field ``fi``'s block-j
+            window — rows [j*br - halo, (j+1)*br + halo) with periodic
+            wrap — into sbufs[fi][slot] at lane offset hl. ``top=False``
+            covers every j whose wrap (if any) is at the south edge;
+            ``top=True`` is the last block (north wrap). Offsets/counts
+            are 8-row aligned (br, halo multiples of 8), as HBM slices
+            demand. Built per-branch: an unconsumed descriptor is an
+            error in interpret mode."""
+            buf = sbufs[fi]
+
+            def seg(s0, n, d0, sidx):
+                if not isinstance(s0, int):
+                    s0 = pl.multiple_of(s0, 8)
+                dst = (buf.at[slot, pl.ds(d0, n), pl.ds(hl, nx)]
+                       if ext_x else buf.at[slot, pl.ds(d0, n), :])
+                return pltpu.make_async_copy(
+                    f_hbm[fi].at[pl.ds(s0, n), :], dst, sem.at[fi, slot, sidx]
+                )
+
+            if top:
+                return [seg(ny - br - halo, br + halo, 0, 0),
+                        seg(0, halo, br + halo, 1)]
+            return [seg((j * br - halo) % ny, halo, 0, 0),
+                    seg(j * br, br + halo, halo, 1)]
+
+        def _window_io(slot, j, op):
+            # Descriptors are built inside their branch: an unconsumed
+            # descriptor is an error in interpret mode.
+            for fi in range(cfg.n_fields):
+                @pl.when(j != nb - 1)
+                def _():
+                    for d in _window_copies(fi, slot, j, top=False):
+                        getattr(d, op)()
+
+                @pl.when(j == nb - 1)
+                def _():
+                    for d in _window_copies(fi, slot, j, top=True):
+                        getattr(d, op)()
+
+        if dma:
+            @pl.when(i == 0)
+            def _():
+                _window_io(0, 0, "start")
+
+            @pl.when(i + 1 < nb)
+            def _():
+                _window_io((i + 1) % 2, i + 1, "start")
+
+            _window_io(i % 2, i, "wait")
+
+        def dma_window(fi, mirror_ref):
+            """Finish assembling field ``fi``'s window in its DMA scratch:
+            top block swaps the fold-mirror rows in for the north halo, then
+            the periodic lane strips are filled from the already-loaded real
+            columns (strips must come after the mirror so they wrap the
+            mirrored rows)."""
+            buf = sbufs[fi]
+            slot = i % 2
+            if fold:
+                @pl.when(i == nb - 1)
+                def _():
+                    if ext_x:
+                        buf[slot, halo + br :, hl : hl + nx] = \
+                            mirror_ref[:halo, :]
+                    else:
+                        buf[slot, halo + br :, :] = mirror_ref[:halo, :]
+            if ext_x:
+                buf[slot, :, :hl] = buf[slot, :, nx : nx + hl]
+                buf[slot, :, hl + nx :] = buf[slot, :, hl : hl + wr]
+            return buf[slot]
 
         def xext(a):
             """Wrap-extend along lanes to the aligned compute width,
@@ -454,8 +575,15 @@ def _build_pass_call(cfg: _PassConfig):
         own = slice(halo, halo + br)
         area = area_ref[0] if (fuse and cfg.has_area) else None
         fbar_w = None
+
+        def field_window(fi):
+            m = mirrors[fi] if fold else None
+            if dma:
+                return dma_window(fi, m)
+            return xext(window(f_views[fi], m))
+
         if cfg.first_pass:
-            w = xext(window(f_views[0], mirrors[0] if fold else None))
+            w = field_window(0)
             if fuse:
                 # prepare (*area) + h-space masking, in-window
                 fbar_w = w * area if cfg.has_area else w
@@ -469,8 +597,8 @@ def _build_pass_call(cfg: _PassConfig):
             acc = p_ref[0, 0] * prev[own] + p_ref[0, 1] * cur[own]
             p_off = 2
         else:
-            cur = xext(window(f_views[0], mirrors[0] if fold else None))
-            prev = xext(window(f_views[1], mirrors[1] if fold else None))
+            cur = field_window(0)
+            prev = field_window(1)
             acc = xext(acc_ref[...])
             p_off = 0
 
@@ -522,7 +650,10 @@ def _build_pass_call(cfg: _PassConfig):
         pl.BlockSpec((1, cfg.n_p), lambda i: (0, 0), memory_space=pltpu.SMEM)
     ]
     for _ in range(cfg.n_fields):
-        in_specs += views()
+        if dma:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        else:
+            in_specs += views()
     if not cfg.first_pass:
         in_specs.append(blk())  # acc
     if need_field_own:
@@ -548,14 +679,22 @@ def _build_pass_call(cfg: _PassConfig):
     ]
 
     scratch_shapes = []
-    if ext_x:
+    if dma:
+        scratch_shapes += [
+            pltpu.VMEM((2, win, wx), cfg.dtype) for _ in range(cfg.n_fields)
+        ]
+    elif ext_x:
         scratch_shapes += [
             pltpu.VMEM((win, wx), cfg.dtype) for _ in range(cfg.n_fields)
         ]
+    if ext_x:
         if not cfg.first_pass:
             scratch_shapes.append(pltpu.VMEM((br, wx), cfg.dtype))  # acc
         if need_field_own:
             scratch_shapes.append(pltpu.VMEM((br, wx), cfg.dtype))
+    if dma:
+        scratch_shapes.append(
+            pltpu.SemaphoreType.DMA((cfg.n_fields, 2, 2)))
 
     n_arrays = n_ext
     return pl.pallas_call(
@@ -639,12 +778,13 @@ def build_cheb_pass(
         xhl=_ext_geometry(nx, halo)[1],
     )
     grid_call = _build_pass_call(cfg)
+    n_rep = 1 if _dma_on(cfg) else 3  # DMA windows take the field once
 
     def pass_fn(p_chunk, coef_exts, *fields_and_acc):
         fields = fields_and_acc[: cfg.n_fields]
         args = [jnp.reshape(p_chunk, (1, cfg.n_p)).astype(dtype)]
         for f in fields:
-            args += [f, f, f]
+            args += [f] * n_rep
         if not first_pass:
             args.append(fields_and_acc[cfg.n_fields])  # acc
             if last_pass and drop_pre:
@@ -766,12 +906,13 @@ def build_local_pass(
         xhl=_ext_geometry(nx, halo)[1],
     )
     grid_call = _build_pass_call(cfg)
+    n_rep = 1 if _dma_on(cfg) else 3  # DMA windows take the field once
 
     def pass_fn(p_chunk, coef_exts, *fields_and_acc):
         fields = fields_and_acc[: cfg.n_fields]
         args = [jnp.reshape(p_chunk, (1, cfg.n_p)).astype(dtype)]
         for f in fields:
-            args += [f, f, f]
+            args += [f] * n_rep
         if not first_pass:
             args.append(fields_and_acc[cfg.n_fields])  # acc
             if last_pass and fuse_ends and drop_pre:

@@ -177,11 +177,14 @@ def _plan_local_pallas(ly, lx, n_steps, n_coef, has_post, itemsize, halo_steps):
     # benchmark record was taken with).
     br_target = 96
 
+    from ..ops.pallas.cheb_pass import _halo_mult
+
     k_max = min(halo_steps or 16, n_steps, max(1, min(ly, lx) // 2))
     for k in range(k_max, 0, -1):
         steps = _balanced(n_steps, k)
         cells = max(steps)
-        halo = -(-cells // 4) * 4  # sublane-aligned window height
+        hm = _halo_mult()
+        halo = -(-cells // hm) * hm  # aligned window height
         cols_e = lx + 2 * cells
         rows_e = ly + 2 * cells
         budget_rows = _VMEM_BUDGET_WIDE // (cols_e * itemsize)

@@ -356,3 +356,53 @@ def test_pallas_custom_pre_mask_without_zap_matches_xla():
     assert np.isnan(want).sum() > 1  # NaN really propagates in this config
     m = ~np.isnan(want)
     np.testing.assert_allclose(got[m], want[m], rtol=1e-11, atol=1e-13)
+
+
+def test_pallas_dma_window_path_exact(monkeypatch):
+    """The manual-DMA window path (fields streamed ONCE from HBM into a
+    double-buffered VMEM scratch, with async-copy prefetch of block i+1
+    issued before block i's compute) must be bitwise identical to the
+    blocked-neighbor-view path for every window shape it claims
+    eligibility for: periodic wrap, tripolar fold mirror, multi-pass
+    splits, and the lane-extension (ext_x) odd-width path. f32 because
+    the DMA gate requires 4-byte elements (8-row HBM slice alignment)."""
+    import gcm_filters_tpu.ops.pallas.cheb_pass as cp
+
+    took_dma = []
+    real_dma_on = cp._dma_on
+
+    def spy(cfg):
+        r = real_dma_on(cfg)
+        took_dma.append(r)
+        return r
+
+    rng = np.random.default_rng(11)
+    ny, nx = 96, 128
+    m = np.ones((ny, nx))
+    wet = m.copy(); wet[:2] = 0
+    wet_fold = m.copy(); wet_fold[0] = 0
+    cases = [
+        (GridType.REGULAR, {}, None, (ny, nx)),
+        (GridType.REGULAR, {}, 37, (ny, nx)),            # multi-pass
+        (GridType.REGULAR, {}, None, (96, 100)),          # ext_x lanes
+        (GridType.IRREGULAR_WITH_LAND,
+         dict(wet_mask=wet, dxw=m, dyw=m, dxs=m, dys=m, area=m,
+              kappa_w=m, kappa_s=m), None, (ny, nx)),
+        (GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+         {"area": m, "wet_mask": wet_fold}, None, (ny, nx)),
+    ]
+    for grid_type, gv, n_steps, shape in cases:
+        kw = {"n_steps": n_steps} if n_steps else {}
+        filt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
+                      grid_vars=gv, use_pallas=False, **kw)
+        data = jnp.asarray(rng.random(shape), dtype=jnp.float32)
+        monkeypatch.setattr(cp, "_DMA_WINDOWS", False)
+        ref = np.asarray(make_pallas_scalar_apply(
+            filt.operator, filt.filter_spec)(data))
+        monkeypatch.setattr(cp, "_DMA_WINDOWS", True)
+        monkeypatch.setattr(cp, "_dma_on", spy)
+        got = np.asarray(make_pallas_scalar_apply(
+            filt.operator, filt.filter_spec)(data))
+        monkeypatch.setattr(cp, "_dma_on", real_dma_on)
+        np.testing.assert_array_equal(got, ref, err_msg=f"{grid_type} {shape}")
+    assert any(took_dma), "DMA window path never engaged -- test is vacuous"
