@@ -43,10 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ctaps import CTAPS
 from ..stencil import BGridVectorStencil
+from . import cheb_pass as _cp
 from .cheb_pass import (
     _VMEM_BUDGET_WIDE,
     _VMEM_LIMIT_BYTES,
     _ext_geometry,
+    _halo_mult,
     PassPlan,
     ext_blocks_np,
 )
@@ -104,7 +106,10 @@ def _plan_coupled(
         return None
 
     def aligned_halo(h):
-        return -(-h // 4) * 4  # window heights stay sublane-aligned
+        # window heights stay sublane-aligned; the DMA-window path needs
+        # the halo itself 8-row aligned (HBM slice tiling, see cheb_pass)
+        hm = _halo_mult()
+        return -(-h // hm) * hm
 
     # 1. single pass at the br closest to the sweet spot (largest first on
     #    ties: fewer redundant rows).
@@ -250,6 +255,18 @@ def _build_coupled_pass(
     half = npdt.type(0.5)
     n_fields = 1 if first_pass else 2
     n_p = n_ops + 1 if first_pass else n_ops
+    # Manual-DMA windows (see cheb_pass): blocked (i+-1) mod nb neighbor
+    # views defeat Mosaic's input pipelining; stream each stacked field
+    # once from an ANY(HBM) ref into a double-buffered VMEM scratch with
+    # the block-(i+1) prefetch issued before block i's compute.
+    dma = (
+        _cp._DMA_WINDOWS
+        and halo % 8 == 0
+        and br % 8 == 0
+        and nb >= 2
+        and npdt.itemsize == 4
+        and (not ext_x or (nx >= hl and nx >= wr))
+    )
 
     def xslice(a):
         # hl is a vreg multiple, so this is a pure vreg-to-vreg copy
@@ -257,7 +274,13 @@ def _build_coupled_pass(
 
     def kernel(p_ref, *refs):
         refs = list(refs)
-        f_views = [[refs.pop(0) for _ in range(3)] for _ in range(n_fields)]
+        if dma:
+            f_hbm = [refs.pop(0) for _ in range(n_fields)]
+            f_views = None
+        else:
+            f_views = [
+                [refs.pop(0) for _ in range(3)] for _ in range(n_fields)
+            ]
         acc_ref = None if first_pass else refs.pop(0)
         coef_refs = {k: refs.pop(0) for k in coef_names}
         if last_pass:
@@ -265,7 +288,71 @@ def _build_coupled_pass(
             w1_out = w2_out = None
         else:
             w1_out, w2_out, acc_out = refs.pop(0), refs.pop(0), refs.pop(0)
-        scratches = refs  # x-extension staging buffers (ext_x only)
+        scratches = refs  # DMA window buffers + x-extension staging buffers
+        if dma:
+            sem = scratches.pop()  # DMA semaphores ride last
+            sbufs = [scratches.pop(0) for _ in range(n_fields)]
+
+        i = pl.program_id(0)
+
+        def _window_copies(fi, slot, j, top):
+            """Async-copy descriptors loading stacked field ``fi``'s block-j
+            window — rows [j*br - halo, (j+1)*br + halo) with periodic
+            wrap — into sbufs[fi][slot] at lane offset hl. ``top=False``
+            covers every j whose wrap (if any) is at the south edge;
+            ``top=True`` is the last block (north wrap). Built per-branch:
+            an unconsumed descriptor is an error in interpret mode."""
+            buf = sbufs[fi]
+
+            def seg(s0, n, d0, sidx):
+                if not isinstance(s0, int):
+                    s0 = pl.multiple_of(s0, 8)
+                dst = (buf.at[slot, :, pl.ds(d0, n), pl.ds(hl, nx)]
+                       if ext_x else buf.at[slot, :, pl.ds(d0, n), :])
+                return pltpu.make_async_copy(
+                    f_hbm[fi].at[:, pl.ds(s0, n), :], dst,
+                    sem.at[fi, slot, sidx]
+                )
+
+            if top:
+                return [seg(ny - br - halo, br + halo, 0, 0),
+                        seg(0, halo, br + halo, 1)]
+            return [seg((j * br - halo) % ny, halo, 0, 0),
+                    seg(j * br, br + halo, halo, 1)]
+
+        def _window_io(slot, j, op):
+            for fi in range(n_fields):
+                @pl.when(j != nb - 1)
+                def _():
+                    for d in _window_copies(fi, slot, j, top=False):
+                        getattr(d, op)()
+
+                @pl.when(j == nb - 1)
+                def _():
+                    for d in _window_copies(fi, slot, j, top=True):
+                        getattr(d, op)()
+
+        if dma:
+            @pl.when(i == 0)
+            def _():
+                _window_io(0, 0, "start")
+
+            @pl.when(i + 1 < nb)
+            def _():
+                _window_io((i + 1) % 2, i + 1, "start")
+
+            _window_io(i % 2, i, "wait")
+
+        def dma_window(fi):
+            """Finish assembling stacked field ``fi``'s window in its DMA
+            scratch: fill the periodic lane strips from the already-loaded
+            real columns (ext_x only)."""
+            buf = sbufs[fi]
+            slot = i % 2
+            if ext_x:
+                buf[slot, :, :, :hl] = buf[slot, :, :, nx : nx + hl]
+                buf[slot, :, :, hl + nx :] = buf[slot, :, :, hl : hl + wr]
+            return buf[slot]
 
         def xext(a):
             """Wrap-extend the stacked window along lanes to the aligned
@@ -306,14 +393,20 @@ def _build_coupled_pass(
             return lap_body(c, g, gN, gS, gE, gW)
 
         own = slice(halo, halo + br)
+
+        def field_window(fi):
+            if dma:
+                return dma_window(fi)
+            return xext(window(f_views[fi]))
+
         if first_pass:
-            prev = xext(window(f_views[0]))
+            prev = field_window(0)
             cur = -prev + half * lap(prev)
             acc = p_ref[0, 0] * prev[:, own] + p_ref[0, 1] * cur[:, own]
             p_off = 2
         else:
-            cur = xext(window(f_views[0]))
-            prev = xext(window(f_views[1]))
+            cur = field_window(0)
+            prev = field_window(1)
             acc = xext(acc_ref[...])
             p_off = 0
 
@@ -340,7 +433,10 @@ def _build_coupled_pass(
 
     in_specs = [pl.BlockSpec((1, n_p), lambda i: (0, 0), memory_space=pltpu.SMEM)]
     for _ in range(n_fields):
-        in_specs += views()
+        if dma:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        else:
+            in_specs += views()
     if not first_pass:
         in_specs.append(blk())
     in_specs += [
@@ -349,12 +445,18 @@ def _build_coupled_pass(
     ]
 
     scratch_shapes = []
-    if ext_x:
+    if dma:
+        scratch_shapes += [
+            pltpu.VMEM((2, 2, win, wx), dtype) for _ in range(n_fields)
+        ]
+    elif ext_x:
         scratch_shapes += [
             pltpu.VMEM((2, win, wx), dtype) for _ in range(n_fields)
         ]
-        if not first_pass:
-            scratch_shapes.append(pltpu.VMEM((2, br, wx), dtype))  # acc
+    if ext_x and not first_pass:
+        scratch_shapes.append(pltpu.VMEM((2, br, wx), dtype))  # acc
+    if dma:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((n_fields, 2, 2)))
 
     n_out = 1 if last_pass else 3
     grid_call = pl.pallas_call(
@@ -380,11 +482,13 @@ def _build_coupled_pass(
         interpret=jax.default_backend() != "tpu",
     )
 
+    n_rep = 1 if dma else 3  # DMA windows take the field once
+
     def pass_fn(p_chunk, coef_exts, *fields_and_acc):
         fields = fields_and_acc[:n_fields]
         args = [jnp.reshape(p_chunk, (1, n_p)).astype(dtype)]
         for f in fields:
-            args += [f, f, f]
+            args += [f] * n_rep
         if not first_pass:
             args.append(fields_and_acc[n_fields])
         args += list(coef_exts)

@@ -406,3 +406,41 @@ def test_pallas_dma_window_path_exact(monkeypatch):
         monkeypatch.setattr(cp, "_dma_on", real_dma_on)
         np.testing.assert_array_equal(got, ref, err_msg=f"{grid_type} {shape}")
     assert any(took_dma), "DMA window path never engaged -- test is vacuous"
+
+
+def test_pallas_vector_dma_window_path_exact(monkeypatch):
+    """Coupled-kernel variant of the manual-DMA window path: the stacked
+    (u, v) pair streamed once from HBM must be bitwise identical to the
+    neighbor-view path for both vector grids, single- and multi-pass
+    (the multi-pass middle stages stream TWO stacked fields), and the
+    ext_x odd-width path."""
+    from conftest import make_vector_grid_data
+    from gcm_filters_tpu.ops.pallas import make_pallas_vector_apply
+    import gcm_filters_tpu.ops.pallas.cheb_pass as cp
+    import gcm_filters_tpu.ops.pallas.vec_pass as vp
+
+    n_copies = []
+    real_copy = vp.pltpu.make_async_copy
+
+    def spy(*a, **k):
+        n_copies.append(1)
+        return real_copy(*a, **k)
+
+    for gt in (GridType.VECTOR_C_GRID, GridType.VECTOR_B_GRID):
+        for shape, n_steps in (((96, 128), None), ((96, 100), 37)):
+            _, (u, v), gv = make_vector_grid_data(gt, shape=shape)
+            kw = {"n_steps": n_steps} if n_steps else {}
+            filt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=gt,
+                          grid_vars=gv, use_pallas=False, **kw)
+            uj = jnp.asarray(u, dtype=jnp.float32)
+            vj = jnp.asarray(v, dtype=jnp.float32)
+            monkeypatch.setattr(cp, "_DMA_WINDOWS", False)
+            ref = make_pallas_vector_apply(filt.operator, filt.filter_spec)(uj, vj)
+            monkeypatch.setattr(cp, "_DMA_WINDOWS", True)
+            monkeypatch.setattr(vp.pltpu, "make_async_copy", spy)
+            got = make_pallas_vector_apply(filt.operator, filt.filter_spec)(uj, vj)
+            monkeypatch.setattr(vp.pltpu, "make_async_copy", real_copy)
+            for g, r in zip(got, ref):
+                np.testing.assert_array_equal(
+                    np.asarray(g), np.asarray(r), err_msg=f"{gt} {shape}")
+    assert n_copies, "coupled DMA window path never engaged -- test is vacuous"
