@@ -390,12 +390,21 @@ def test_pallas_dma_window_path_exact(monkeypatch):
               kappa_w=m, kappa_s=m), None, (ny, nx)),
         (GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
          {"area": m, "wet_mask": wet_fold}, None, (ny, nx)),
+        # odd ny: the pad-to-block LOCAL rounds path under DMA windows
+        (GridType.REGULAR, {}, None, (126, 130)),
+        # exact_nan streams the per-step pre-mask alongside the DMA'd field
+        (GridType.REGULAR_WITH_LAND, {"wet_mask": wet}, None, (ny, nx)),
     ]
-    for grid_type, gv, n_steps, shape in cases:
+    for idx, (grid_type, gv, n_steps, shape) in enumerate(cases):
         kw = {"n_steps": n_steps} if n_steps else {}
+        if idx == len(cases) - 1:
+            kw["exact_nan"] = True
         filt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=grid_type,
                       grid_vars=gv, use_pallas=False, **kw)
-        data = jnp.asarray(rng.random(shape), dtype=jnp.float32)
+        arr = rng.random(shape)
+        if kw.get("exact_nan"):
+            arr[10, 20] = np.nan
+        data = jnp.asarray(arr, dtype=jnp.float32)
         monkeypatch.setattr(cp, "_DMA_WINDOWS", False)
         ref = np.asarray(make_pallas_scalar_apply(
             filt.operator, filt.filter_spec)(data))

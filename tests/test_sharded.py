@@ -235,3 +235,46 @@ def test_distributed_prepared_exts_remove_coefficient_collectives():
     # in-trace coefficient extension added ~3 exchanges x ~5 permutes on
     # this grid; the steady-state apply must be well under that regime
     assert n_apply <= 12, f"apply still carries coefficient collectives: {n_apply}"
+
+
+def test_sharded_dma_window_local_compute(monkeypatch):
+    """The manual-DMA window path as the per-shard local compute: with
+    _DMA_WINDOWS forced on and f32 data (the gate requires 4-byte
+    elements), sharded Pallas local compute must stay bitwise identical
+    to the view path, fold seam included."""
+    import gcm_filters_tpu.ops.pallas.cheb_pass as cp
+
+    ny, nx = 256, 256  # 2x2 shards -> 128-row locals: nb>=2, DMA-eligible
+    rng = np.random.default_rng(9)
+    wet = np.ones((ny, nx)); wet[0] = 0
+    area = 0.9 + 0.2 * rng.random((ny, nx))
+    data = rng.random((ny, nx)).astype(np.float32)
+    mesh = _mesh(2, 2)
+    took_dma = []
+    real_dma_on = cp._dma_on
+
+    def spy(cfg):
+        r = real_dma_on(cfg)
+        took_dma.append(r)
+        return r
+
+    outs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(cp, "_DMA_WINDOWS", flag)
+        if flag:
+            monkeypatch.setattr(cp, "_dma_on", spy)
+        filt = Filter(filter_scale=6.0, dx_min=1.0,
+                      grid_type=GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+                      grid_vars={"area": area, "wet_mask": wet},
+                      use_pallas=True, mesh=mesh, spatial_axes=("y", "x"))
+        outs[flag] = np.asarray(filt.apply(data))
+        monkeypatch.setattr(cp, "_dma_on", real_dma_on)
+    assert any(took_dma), "sharded local compute never took the DMA path"
+    np.testing.assert_array_equal(outs[True], outs[False])
+    # and against the unsharded XLA engine at f32 tolerance
+    monkeypatch.setattr(cp, "_DMA_WINDOWS", False)
+    base = Filter(filter_scale=6.0, dx_min=1.0,
+                  grid_type=GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+                  grid_vars={"area": area, "wet_mask": wet}, use_pallas=False)
+    np.testing.assert_allclose(outs[True], np.asarray(base.apply(data)),
+                               rtol=2e-5, atol=2e-6)
