@@ -93,7 +93,7 @@ _DMA_WINDOWS: bool = False
 
 
 def _dma_on(cfg: "_PassConfig") -> bool:
-    on = _DMA_WINDOWS
+    on = _DMA_WINDOWS or cfg.ring_axis is not None  # ring REQUIRES manual DMA
     wx = cfg.wx or cfg.nx
     wr = wx - cfg.nx - cfg.xhl
     return (
@@ -196,6 +196,8 @@ def plan_passes(
     has_post: bool,
     itemsize: int,
     max_fuse: int = 16,
+    halo_mult: Optional[int] = None,
+    br_divides: Optional[int] = None,
 ) -> Optional[PassPlan]:
     """Choose block rows and per-pass step counts under the VMEM budget.
 
@@ -211,11 +213,16 @@ def plan_passes(
     # pipelining at large br (measured: 5-coef br=96 runs 0.64x of br=48).
     br_cap = min(ny, 512 if n_coef < 4 else 64)
     brs = [b for b in range(8, br_cap + 1, 8) if ny % b == 0]
+    if br_divides is not None:
+        # ring mode: the block height must divide the LOCAL rows with at
+        # least two blocks per shard (edge blocks need interior to overlap)
+        brs = [b for b in brs
+               if br_divides % b == 0 and b <= br_divides // 2]
     if not brs:
         return None
 
     if n_steps <= max_fuse:
-        hm = _halo_mult()
+        hm = halo_mult or _halo_mult()
         halo = -(-n_steps // hm) * hm  # aligned single-pass halo
         cands = [
             b for b in brs
@@ -262,7 +269,7 @@ def plan_passes(
     steps = tuple(base + (1 if i < extra else 0) for i in range(n_pass))
     # Round the halo allocation up so the window height br+2*halo stays a
     # multiple of 8 (sublane tile): unaligned windows measured ~1.5x slower.
-    hm = _halo_mult()
+    hm = halo_mult or _halo_mult()
     halo = min(br, -(-max(steps) // hm) * hm)
     return PassPlan(br=br, halo=halo, steps=steps)
 
@@ -319,7 +326,18 @@ def _mirror_chunk(x: jax.Array, halo: int, rows_m: int) -> jax.Array:
 
 @dataclasses.dataclass(frozen=True)
 class _PassConfig:
-    """Static description of one fused pass kernel."""
+    """Static description of one fused pass kernel.
+
+    Ring mode (``ring_axis`` set): the kernel is the per-shard slice of the
+    GLOBAL plan on a 1-D y-sharded mesh. ``ny`` is then the LOCAL row count
+    (ly = ny_global / ring_size); shard-edge windows are assembled from halo
+    buffers filled by in-kernel ``make_async_remote_copy`` ring sends
+    (issued at kernel entry, so the transfer overlaps the interior blocks,
+    which are processed first; the two edge blocks run last). Because every
+    block sees exactly the rows the unsharded kernel's periodic/fold window
+    would contain, the sharded result is bitwise identical to the global
+    kernel by construction.
+    """
 
     ny: int
     nx: int
@@ -352,6 +370,10 @@ class _PassConfig:
     # (see _ext_geometry); wx == nx means no extension.
     wx: int = 0
     xhl: int = 0
+    # Ring mode (see class docstring): mesh axis carrying the 1-D y
+    # decomposition and its size. None = ordinary single-device kernel.
+    ring_axis: Optional[str] = None
+    ring_size: int = 0
 
     @property
     def nb(self) -> int:
@@ -407,6 +429,19 @@ def _build_pass_call(cfg: _PassConfig):
     need_field_own = fuse and cfg.last_pass and not cfg.first_pass and cfg.drop_pre
     dma = _dma_on(cfg)
     ny = cfg.ny
+    ring = cfg.ring_axis is not None
+    interp = jax.default_backend() != "tpu"
+    if ring:
+        assert dma and nb >= 2 and cfg.ring_size >= 2
+
+    def pblk(j):
+        """Block id at grid position ``j``: ring mode processes the two
+        shard-edge blocks LAST so their remote halos arrive while the
+        interior blocks compute (the overlap)."""
+        if not ring or nb <= 2:
+            return j
+        return jnp.where(j < nb - 2, j + 1,
+                         jnp.where(j == nb - 2, 0, nb - 1))
 
     def kernel(p_ref, *refs):
         refs = list(refs)
@@ -429,12 +464,73 @@ def _build_pass_call(cfg: _PassConfig):
             t1_out = t2_out = None
         else:
             t1_out, t2_out, acc_out = refs.pop(0), refs.pop(0), refs.pop(0)
+        if ring:
+            # halo receive buffers (ANY memory): filled by the neighbors'
+            # remote copies, read back by the edge blocks' window DMAs
+            hs_bufs = [refs.pop(0) for _ in range(cfg.n_fields)]
+            hn_bufs = [refs.pop(0) for _ in range(cfg.n_fields)]
         scratches = refs  # DMA window buffers + x-extension staging buffers
+        if ring:
+            rsem = scratches.pop()  # remote recv semaphores
+            ssem = scratches.pop()  # remote send semaphores
         if dma:
             sem = scratches.pop()  # DMA semaphores ride last
             sbufs = [scratches.pop(0) for _ in range(cfg.n_fields)]
 
         i = pl.program_id(0)
+
+        if ring:
+            psize = np.int32(cfg.ring_size)  # match axis_index (x64-safe)
+            my = jax.lax.axis_index(cfg.ring_axis)
+            up_dev = jax.lax.rem(my + np.int32(1), psize)
+            dn_dev = jax.lax.rem(my + psize - np.int32(1), psize)
+
+            def rem_desc(fi, up):
+                """SPMD ring-copy descriptor for field ``fi``: ``up`` sends
+                my top ``halo`` rows to the up-neighbor's south buffer (so
+                my own hs receives from my down-neighbor running the same
+                descriptor); ``not up`` sends my bottom rows to the
+                down-neighbor's north buffer."""
+                if up:
+                    return pltpu.make_async_remote_copy(
+                        src_ref=f_hbm[fi].at[pl.ds(ny - halo, halo), :],
+                        dst_ref=hs_bufs[fi],
+                        send_sem=ssem.at[fi, 0], recv_sem=rsem.at[fi, 0],
+                        device_id=up_dev,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    )
+                return pltpu.make_async_remote_copy(
+                    src_ref=f_hbm[fi].at[pl.ds(0, halo), :],
+                    dst_ref=hn_bufs[fi],
+                    send_sem=ssem.at[fi, 1], recv_sem=rsem.at[fi, 1],
+                    device_id=dn_dev,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+
+            @pl.when(i == 0)
+            def _():
+                if not interp:
+                    # All ring participants must have entered this pass
+                    # before any remote write lands (buffer-liveness across
+                    # chained invocations); interpret-mode discharge is
+                    # synchronous and needs no barrier.
+                    bsem = pltpu.get_barrier_semaphore()
+                    pltpu.semaphore_signal(
+                        bsem, 1, device_id=up_dev,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL)
+                    pltpu.semaphore_signal(
+                        bsem, 1, device_id=dn_dev,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL)
+                    pltpu.semaphore_wait(bsem, 2)
+                for fi in range(cfg.n_fields):
+                    rem_desc(fi, True).start()
+                    rem_desc(fi, False).start()
+
+            @pl.when(i == nb - 1)
+            def _():
+                for fi in range(cfg.n_fields):
+                    rem_desc(fi, True).wait_send()
+                    rem_desc(fi, False).wait_send()
 
         def _window_copies(fi, slot, j, top):
             """The async-copy descriptors loading field ``fi``'s block-j
@@ -462,9 +558,56 @@ def _build_pass_call(cfg: _PassConfig):
             return [seg((j * br - halo) % ny, halo, 0, 0),
                     seg(j * br, br + halo, halo, 1)]
 
+        def _ring_copies(fi, slot, jb, kind):
+            """Ring-mode window segments for block ``jb``: interior blocks
+            stream one contiguous core slice; the south/north edge blocks
+            take their outer ``halo`` rows from the remote-filled hs/hn
+            buffers instead of a periodic wrap."""
+            buf = sbufs[fi]
+
+            def seg(src, d0, n, sidx):
+                dst = (buf.at[slot, pl.ds(d0, n), pl.ds(hl, nx)]
+                       if ext_x else buf.at[slot, pl.ds(d0, n), :])
+                return pltpu.make_async_copy(src, dst, sem.at[fi, slot, sidx])
+
+            core = f_hbm[fi]
+            if kind == "south":  # jb == 0
+                return [seg(hs_bufs[fi].at[:, :], 0, halo, 0),
+                        seg(core.at[pl.ds(0, br + halo), :], halo,
+                            br + halo, 1)]
+            if kind == "north":  # jb == nb - 1
+                return [seg(core.at[pl.ds(ny - br - halo, br + halo), :], 0,
+                            br + halo, 0),
+                        seg(hn_bufs[fi].at[:, :], br + halo, halo, 1)]
+            s0 = pl.multiple_of(jb * br - halo, 8)
+            return [seg(core.at[pl.ds(s0, win), :], 0, win, 0)]
+
         def _window_io(slot, j, op):
             # Descriptors are built inside their branch: an unconsumed
             # descriptor is an error in interpret mode.
+            if ring:
+                jb = pblk(j)
+                for fi in range(cfg.n_fields):
+                    @pl.when(jb == 0)
+                    def _():
+                        if op == "start":
+                            # halo must have landed before reading it back
+                            rem_desc(fi, True).wait_recv()
+                        for d in _ring_copies(fi, slot, jb, "south"):
+                            getattr(d, op)()
+
+                    @pl.when(jb == nb - 1)
+                    def _():
+                        if op == "start":
+                            rem_desc(fi, False).wait_recv()
+                        for d in _ring_copies(fi, slot, jb, "north"):
+                            getattr(d, op)()
+
+                    @pl.when((jb != 0) & (jb != nb - 1))
+                    def _():
+                        for d in _ring_copies(fi, slot, jb, "mid"):
+                            getattr(d, op)()
+                return
             for fi in range(cfg.n_fields):
                 @pl.when(j != nb - 1)
                 def _():
@@ -496,7 +639,12 @@ def _build_pass_call(cfg: _PassConfig):
             buf = sbufs[fi]
             slot = i % 2
             if fold:
-                @pl.when(i == nb - 1)
+                # ring mode: only the TOP shard's top block is the seam;
+                # other shards' last blocks use the real north halo
+                is_seam = ((pblk(i) == nb - 1) & (my == cfg.ring_size - 1)
+                           if ring else i == nb - 1)
+
+                @pl.when(is_seam)
                 def _():
                     if ext_x:
                         buf[slot, halo + br :, hl : hl + nx] = \
@@ -636,12 +784,21 @@ def _build_pass_call(cfg: _PassConfig):
                 acc = acc / area[own]
         acc_out[...] = xslice(acc)
 
-    def blk(index_map=lambda i: (i, 0)):
+    def _pblk_map(j):
+        # index-map counterpart of the kernel-side pblk() reorder
+        if not ring or nb <= 2:
+            return j
+        return jnp.where(j < nb - 2, j + 1,
+                         jnp.where(j == nb - 2, 0, nb - 1))
+
+    def blk(index_map=None):
+        if index_map is None:
+            index_map = lambda i: (_pblk_map(i), 0)
         return pl.BlockSpec((br, cfg.nx), index_map, memory_space=pltpu.VMEM)
 
     def views():
         return [
-            blk(),
+            blk(lambda i: (i, 0)),
             blk(lambda i: ((i - 1) % nb, 0)),
             blk(lambda i: ((i + 1) % nb, 0)),
         ]
@@ -667,7 +824,7 @@ def _build_pass_call(cfg: _PassConfig):
     n_ext = (len(coef_names) + int(cfg.has_pre) + int(has_post)
              + int(fuse and cfg.has_area))
     in_specs += [
-        pl.BlockSpec((1, win, wx), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, win, wx), lambda i: (_pblk_map(i), 0, 0),
                      memory_space=pltpu.VMEM)
         for _ in range(n_ext)
     ]
@@ -677,6 +834,14 @@ def _build_pass_call(cfg: _PassConfig):
     out_shape = [
         jax.ShapeDtypeStruct((cfg.ny, cfg.nx), cfg.dtype) for _ in range(n_out)
     ]
+    if ring:
+        # halo receive buffers (written by the neighbors' remote DMAs)
+        out_specs += [pl.BlockSpec(memory_space=pl.ANY)
+                      for _ in range(2 * cfg.n_fields)]
+        out_shape += [
+            jax.ShapeDtypeStruct((halo, cfg.nx), cfg.dtype)
+            for _ in range(2 * cfg.n_fields)
+        ]
 
     scratch_shapes = []
     if dma:
@@ -695,6 +860,10 @@ def _build_pass_call(cfg: _PassConfig):
     if dma:
         scratch_shapes.append(
             pltpu.SemaphoreType.DMA((cfg.n_fields, 2, 2)))
+    if ring:
+        # popped from the end in the kernel: ..., sem, ssem, rsem
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((cfg.n_fields, 2)))
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((cfg.n_fields, 2)))
 
     n_arrays = n_ext
     return pl.pallas_call(
@@ -712,10 +881,13 @@ def _build_pass_call(cfg: _PassConfig):
         ),
         # lift Mosaic's default 16 MiB scoped-vmem cap (the chip has 128 MB;
         # the lift alone measured +33% on the headline at unchanged br, and
-        # enables the large single-pass blocks; ignored in interpret mode)
+        # enables the large single-pass blocks; ignored in interpret mode).
+        # Ring kernels use the entry barrier semaphore -> collective_id.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
-        interpret=jax.default_backend() != "tpu",
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+            **({"collective_id": 0} if ring and not interp else {}),
+        ),
+        interpret=interp,
     )
 
 
@@ -919,6 +1091,87 @@ def build_local_pass(
                 args.append(fields_and_acc[cfg.n_fields + 1])  # raw field
         args += list(coef_exts)
         out = grid_call(*args)
+        return out[0] if last_pass else tuple(out)
+
+    return pass_fn
+
+
+def build_ring_pass(
+    stencil: ScalarStencil5,
+    lap_scale: float,
+    ly: int,
+    nx: int,
+    dtype,
+    plan: PassPlan,
+    n_ops: int,
+    first_pass: bool,
+    last_pass: bool,
+    ring_axis: str,
+    ring_size: int,
+    drop_pre: bool = False,
+    land_gain: float = 0.0,
+):
+    """Per-shard slice of the GLOBAL fused pass on a 1-D y-sharded mesh.
+
+    Same end-fused trapezoid kernel as :func:`build_cheb_pass`, but run
+    inside shard_map on ``ly = ny_global / ring_size`` local rows with the
+    halo exchange performed by the kernel itself (``make_async_remote_copy``
+    ring sends at kernel entry overlapping the interior blocks — the SPMD
+    compute/comm-overlap pattern; SURVEY.md §5/§7). Windows get exactly the
+    rows the global kernel's periodic/fold windows would contain, so the
+    sharded result is bitwise identical to the unsharded kernel. The
+    coefficient exts are the GLOBAL ``host_ext_inputs`` layouts sharded over
+    their leading (block) axis; the fold coefficient mirror is baked into
+    the top shard's last block, and the field mirror chunk is computed
+    per shard from its own top rows (only the top shard's block uses it).
+    """
+    assert stencil.pre is None or not drop_pre
+    br, halo = plan.br, plan.halo
+    assert n_ops <= halo <= br and ly % br == 0 and ly // br >= 2
+    assert halo % 8 == 0 and br % 8 == 0 and ring_size >= 2
+
+    coef_names = tuple(_coef_arrays(stencil))
+    fold = stencil.fold_north
+    cfg = _PassConfig(
+        ny=ly, nx=nx, br=br, halo=halo, n_ops=n_ops,
+        coef_names=coef_names,
+        consts={k: float(getattr(stencil, k)) for k in COEF_NAMES
+                if k not in coef_names},
+        has_pre=stencil.pre is not None,
+        has_post=stencil.post is not None,
+        zap=stencil.zap_nans,
+        fold=fold,
+        first_pass=first_pass,
+        last_pass=last_pass,
+        lap_scale=lap_scale,
+        dtype=dtype,
+        fuse_ends=True,
+        has_area=stencil.area is not None,
+        drop_pre=drop_pre,
+        land_gain=land_gain,
+        wx=_ext_geometry(nx, halo)[0],
+        xhl=_ext_geometry(nx, halo)[1],
+        ring_axis=ring_axis,
+        ring_size=ring_size,
+    )
+    assert _dma_on(cfg), "ring pass built for a DMA-ineligible config"
+    grid_call = _build_pass_call(cfg)
+
+    def pass_fn(p_chunk, coef_exts, *fields_and_acc):
+        fields = fields_and_acc[: cfg.n_fields]
+        args = [jnp.reshape(p_chunk, (1, cfg.n_p)).astype(dtype)]
+        for f in fields:
+            args.append(f)
+        if not first_pass:
+            args.append(fields_and_acc[cfg.n_fields])  # acc
+            if last_pass and drop_pre:
+                args.append(fields_and_acc[cfg.n_fields + 1])  # raw field
+        if fold:
+            args += [_mirror_chunk(f, halo, cfg.rows_m) for f in fields]
+        args += list(coef_exts)
+        out = grid_call(*args)
+        # drop the 2*n_fields halo receive buffers riding as trailing outputs
+        out = out[: 1 if last_pass else 3]
         return out[0] if last_pass else tuple(out)
 
     return pass_fn

@@ -1,0 +1,197 @@
+"""In-kernel ring halo exchange: the sharded path with compute/comm overlap.
+
+The round-based sharded engine (sharded.py) alternates XLA-side collective
+halo exchanges with Pallas local compute, fully serializing communication
+and computation. This module instead runs the GLOBAL fused pass plan
+(ops/pallas/cheb_pass.plan_passes) per shard of a 1-D y-decomposition, with
+the halo exchange performed *inside* the kernel by
+``pltpu.make_async_remote_copy`` ring sends (SURVEY.md §5/§7; the SPMD
+compute/comm-overlap pattern from the Pallas distributed guide): each pass
+kernel starts its neighbor sends at entry, computes the interior row blocks
+while the transfers are in flight, and processes the two shard-edge blocks
+last, waiting on the receive semaphores only there. Steady state carries
+ZERO XLA collectives — the comm census of this path is empty.
+
+Exactness: every block window receives exactly the rows the unsharded
+kernel's periodic/fold window would contain (interior blocks read the local
+core; edge blocks read the remote-filled halo buffers; the tripolar seam
+stays local to the top shard because x is unsharded), so the sharded result
+matches the single-device Pallas kernel bitwise for most configs — tested
+on the virtual CPU mesh (tests/test_ring.py); configs with a pre-mask
+stream can land ~1 ulp off under interpret mode because the remote-copy
+ops change XLA's FMA fusion context, not the window data.
+
+Eligibility (falls back to the round-based engine otherwise): 1-D
+y-sharding (every other mesh axis size 1), 2-D f32 fields, a global plan
+with 8-row-aligned halos whose block height divides the local rows with
+>= 2 blocks per shard.
+
+Real-hardware status: the kernel includes the entry barrier
+(``pltpu.get_barrier_semaphore`` + ``collective_id``) required for
+cross-invocation buffer safety on real multi-chip TPU, but this environment
+has a single chip, so the multi-device path is validated in interpret mode
+only; ``_RING`` defaults to auto = on for interpret backends, off on real
+TPU until validated on a pod.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8 spells it jax.shard_map
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..filter_spec import FilterSpec
+from ..ops.stencil import ScalarStencil5, hspace_drop_pre
+from ..ops.pallas.cheb_pass import (
+    _coef_arrays,
+    _ext_geometry,
+    build_ring_pass,
+    host_ext_inputs,
+    plan_passes,
+)
+
+# Tri-state switch: None = auto (on for interpret backends, off on real TPU
+# until pod-validated), True/False = forced.
+_RING: Optional[bool] = None
+
+
+def ring_enabled() -> bool:
+    if _RING is not None:
+        return _RING
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _axis_size(mesh: Mesh, name: Optional[str]) -> int:
+    if name is None:
+        return 1
+    return mesh.shape[name]
+
+
+def make_ring_scalar_apply(
+    stencil: ScalarStencil5,
+    spec: FilterSpec,
+    mesh: Mesh,
+    spatial_axes: Tuple[Optional[str], Optional[str]],
+    exact_nan: bool = False,
+):
+    """``field -> filtered`` via per-shard ring kernels, or None.
+
+    Returns an apply callable whose per-shape builds may themselves return
+    None (caller falls back to the round-based engine for that shape).
+    """
+    yax, xax = spatial_axes
+    p_y = _axis_size(mesh, yax)
+    if yax is None or p_y < 2:
+        return None
+    # strict 1-D y-decomposition: every other mesh axis must be size 1
+    if any(n != yax and mesh.shape[n] != 1 for n in mesh.axis_names):
+        return None
+    # Single-axis sub-mesh over the same devices: the remote-DMA discharge
+    # rule (interpret mode) supports exactly one named axis in the
+    # environment, and the ring only permutes along y anyway.
+    ring_mesh = Mesh(mesh.devices.reshape(p_y), (yax,))
+
+    import dataclasses
+
+    from ..engine import _laplacian_scale
+
+    p_host = np.asarray(spec.p)
+    drop_pre = hspace_drop_pre(stencil) and not exact_nan
+    land_gain = float(np.polynomial.chebyshev.chebval(-1.0, p_host))
+    hot_host = (
+        dataclasses.replace(stencil, pre=None, zap_nans=False)
+        if drop_pre
+        else stencil
+    )
+    scale = _laplacian_scale(spec, stencil.is_dimensional)
+    n_coef = (len(_coef_arrays(hot_host))
+              + int(hot_host.area is not None)
+              + int(hot_host.pre is not None))
+    field_spec = P(yax, None)
+
+    def _build(ny, nx, dtype):
+        if np.dtype(dtype).itemsize != 4 or ny % p_y:
+            return None
+        ly = ny // p_y
+        plan = plan_passes(
+            ny, _ext_geometry(nx, 16)[0], spec.n_steps, n_coef,
+            hot_host.post is not None, np.dtype(dtype).itemsize,
+            halo_mult=8,  # ring DMA segments demand 8-row-aligned halos
+            br_divides=ly,
+        )
+        if plan is None or plan.halo > plan.br:
+            return None
+        if ly % plan.br or ly // plan.br < 2:
+            return None
+        wx, xhl = _ext_geometry(nx, plan.halo)
+        if wx != nx and (nx < xhl or nx < wx - nx - xhl):
+            return None
+
+        pass_fns = []
+        off = 0
+        for m, n_ops in enumerate(plan.steps):
+            first = m == 0
+            last = m == len(plan.steps) - 1
+            fn = build_ring_pass(
+                hot_host, scale, ly, nx, dtype, plan, n_ops, first, last,
+                ring_axis=yax, ring_size=p_y,
+                drop_pre=drop_pre, land_gain=land_gain,
+            )
+            n_p = n_ops + 1 if first else n_ops
+            pass_fns.append((fn, off, n_p, first, last))
+            off += n_p
+
+        # GLOBAL extended-block coefficient layouts, sharded over their
+        # leading (block) axis: each shard holds exactly its blocks.
+        ext_sharding = NamedSharding(ring_mesh, P(yax, None, None))
+        ext_dev = [
+            jax.device_put(jnp.asarray(e), ext_sharding)
+            for e in host_ext_inputs(hot_host, plan, ny, nx, dtype, scale)
+        ]
+        n_exts = len(ext_dev)
+
+        def local_run(field, *exts):
+            p = jnp.asarray(p_host, dtype=dtype)
+            state = (field,)
+            for fn, poff, n_p, first, last in pass_fns:
+                args = state + ((field,) if last and not first else ())
+                out = fn(p[poff : poff + n_p], exts, *args)
+                state = (out,) if last else out
+            return state[0]
+
+        run = shard_map(
+            local_run,
+            mesh=ring_mesh,
+            in_specs=(field_spec,) + (P(yax, None, None),) * n_exts,
+            out_specs=field_spec,
+            check_vma=False,
+        )
+        return jax.jit(run), ext_dev
+
+    cache = {}
+
+    def apply_fn(field):
+        """2-D compute-dtype field -> filtered, or None if this shape is
+        ring-ineligible (caller falls back)."""
+        ny, nx = field.shape[-2:]
+        key = (ny, nx, str(field.dtype))
+        if key not in cache:
+            cache[key] = _build(ny, nx, field.dtype)
+        entry = cache[key]
+        if entry is None:
+            return None
+        fn, ext_dev = entry
+        return fn(field, *ext_dev)
+
+    apply_fn.shape_cache = cache  # exposed for tests
+    return apply_fn

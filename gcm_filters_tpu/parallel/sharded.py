@@ -576,6 +576,21 @@ def make_sharded_scalar_apply(
     _primary = [None]  # a callable = injected override (tests)
     _pinned = set()  # (ly, lx, dtype) whose kernel failed to compile
 
+    # In-kernel ring halo exchange (parallel/ring.py): the compute/comm
+    # overlap path for 1-D y-sharded meshes — built lazily, None = tried
+    # and ineligible / disabled, False sentinel before first attempt.
+    _ring = [False]
+
+    def _ring_for():
+        if _ring[0] is False:
+            from . import ring as _ring_mod
+
+            _ring[0] = None
+            if batch_axis is None and _ring_mod.ring_enabled():
+                _ring[0] = _ring_mod.make_ring_scalar_apply(
+                    stencil, spec, mesh, spatial_axes, exact_nan)
+        return _ring[0]
+
     def apply_fn(field):
         arr, restore = _normalize(field)
         # the local compute runs at the field's dtype, so integer inputs are
@@ -587,6 +602,26 @@ def make_sharded_scalar_apply(
         ly = arr.shape[-2] // y_axis[1]
         lx = arr.shape[-1] // x_axis[1]
         key = (ly, lx, str(dtype))
+        # _normalize always yields a leading batch dim; ring handles the
+        # single-field case (true batches keep the round-based path)
+        if (arr.shape[0] == 1 and _primary[0] is None
+                and ("ring",) + key not in _pinned and _pallas_on(dtype)):
+            rf = _ring_for()
+            if rf is not None:
+                try:
+                    out = rf(arr[0])
+                    if out is not None:
+                        return restore(out[None])
+                except COMPILE_ERRORS:
+                    from ..utils.telemetry import record_fallback
+
+                    _pinned.add(("ring",) + key)
+                    record_fallback(
+                        "ring_pallas_compile_fallback",
+                        f"ring halo-exchange kernel for shape "
+                        f"{arr.shape[-2:]} dtype {arr.dtype} failed to "
+                        f"compile; falling back to round-based exchange",
+                    )
         use_pl = (
             key not in _pinned
             and _pallas_on(dtype)
