@@ -86,6 +86,8 @@ def _plan_coupled(
     ny: int, nx: int, n_steps: int, itemsize: int,
     n_ext: int, temps: int, margin: int, br_target: int,
     max_fuse: int = 16,
+    halo_mult: Optional[int] = None,
+    br_divides: Optional[int] = None,
 ) -> Optional[PassPlan]:
     """Block rows + pass split for a coupled pass with ``n_ext`` coefficient
     streams and ~``temps`` live stacked/plane window temporaries.
@@ -95,6 +97,10 @@ def _plan_coupled(
     halos — prefer one whole-recurrence pass at the measured br sweet spot,
     falling back to balanced multi-pass splits only when the single-pass
     window exceeds the wide-VMEM budget.
+
+    ``halo_mult``/``br_divides``: ring-mode constraints (see cheb_pass
+    .plan_passes) — force 8-row-aligned halos and block heights dividing
+    the LOCAL shard rows with at least two blocks per shard.
     """
     # Budget at the kernel's internal lane-aligned compute width (the x-leg
     # of the trapezoid, see cheb_pass._ext_geometry) — that is the width the
@@ -102,13 +108,16 @@ def _plan_coupled(
     budget_rows = (_VMEM_BUDGET_WIDE - margin) // (
         _ext_geometry(nx, 16)[0] * itemsize)
     brs = [b for b in range(8, min(ny, _BR_MAX) + 1, 8) if ny % b == 0]
+    if br_divides is not None:
+        brs = [b for b in brs
+               if br_divides % b == 0 and b <= br_divides // 2]
     if not brs:
         return None
 
     def aligned_halo(h):
         # window heights stay sublane-aligned; the DMA-window path needs
         # the halo itself 8-row aligned (HBM slice tiling, see cheb_pass)
-        hm = _halo_mult()
+        hm = halo_mult or _halo_mult()
         return -(-h // hm) * hm
 
     # 1. single pass at the br closest to the sweet spot (largest first on
@@ -146,18 +155,22 @@ def _plan_coupled(
     return PassPlan(br=br, halo=halo, steps=steps)
 
 
-def plan_vec_passes(ny, nx, n_steps, itemsize, max_fuse=16) -> Optional[PassPlan]:
+def plan_vec_passes(ny, nx, n_steps, itemsize, max_fuse=16,
+                    halo_mult=None, br_divides=None) -> Optional[PassPlan]:
     return _plan_coupled(ny, nx, n_steps, itemsize,
                          n_ext=10, temps=12, margin=0,
-                         br_target=_BR_TARGET_VEC, max_fuse=max_fuse)
+                         br_target=_BR_TARGET_VEC, max_fuse=max_fuse,
+                         halo_mult=halo_mult, br_divides=br_divides)
 
 
-def plan_ctap_passes(ny, nx, n_steps, itemsize, max_fuse=16) -> Optional[PassPlan]:
+def plan_ctap_passes(ny, nx, n_steps, itemsize, max_fuse=16,
+                     halo_mult=None, br_divides=None) -> Optional[PassPlan]:
     # 18 live coefficient windows leave less slack than the B-grid kernel;
     # keep a margin under the wide budget for Mosaic's own scratch.
     return _plan_coupled(ny, nx, n_steps, itemsize,
                          n_ext=18, temps=14, margin=1 << 20,
-                         br_target=_BR_TARGET_CTAP, max_fuse=max_fuse)
+                         br_target=_BR_TARGET_CTAP, max_fuse=max_fuse,
+                         halo_mult=halo_mult, br_divides=br_divides)
 
 
 def host_vec_ext_inputs(
@@ -233,6 +246,8 @@ def _build_coupled_pass(
     first_pass: bool,
     last_pass: bool,
     zap: bool,
+    ring_axis: Optional[str] = None,
+    ring_size: int = 0,
 ):
     """One fused pass of ``n_ops`` coupled operator applications.
 
@@ -243,6 +258,13 @@ def _build_coupled_pass(
 
     with w* stacked (2, ny, nx) arrays (u at index 0, v at index 1) and
     coef_exts pre-scaled by -2*lap_scale in host_* builder order.
+
+    Ring mode (``ring_axis`` set; see cheb_pass._PassConfig): the kernel is
+    the per-shard slice of the GLOBAL plan on a 1-D y-sharded mesh — ``ny``
+    is then the LOCAL row count, the shard-edge windows are assembled from
+    halo buffers filled by in-kernel ``make_async_remote_copy`` ring sends
+    issued at kernel entry (overlapping the interior blocks, processed
+    first), and the result matches the unsharded kernel by construction.
     """
     br, halo = plan.br, plan.halo
     assert n_ops <= halo and halo <= br and ny % br == 0
@@ -255,18 +277,31 @@ def _build_coupled_pass(
     half = npdt.type(0.5)
     n_fields = 1 if first_pass else 2
     n_p = n_ops + 1 if first_pass else n_ops
+    ring = ring_axis is not None
+    interp = jax.default_backend() != "tpu"
     # Manual-DMA windows (see cheb_pass): blocked (i+-1) mod nb neighbor
     # views defeat Mosaic's input pipelining; stream each stacked field
     # once from an ANY(HBM) ref into a double-buffered VMEM scratch with
     # the block-(i+1) prefetch issued before block i's compute.
     dma = (
-        _cp._DMA_WINDOWS
+        (_cp._DMA_WINDOWS or ring)  # ring REQUIRES manual DMA
         and halo % 8 == 0
         and br % 8 == 0
         and nb >= 2
         and npdt.itemsize == 4
         and (not ext_x or (nx >= hl and nx >= wr))
     )
+    if ring:
+        assert dma and nb >= 2 and ring_size >= 2
+
+    def pblk(j):
+        """Block id at grid position ``j``: ring mode processes the two
+        shard-edge blocks LAST so their remote halos arrive while the
+        interior blocks compute (the overlap)."""
+        if not ring or nb <= 2:
+            return j
+        return jnp.where(j < nb - 2, j + 1,
+                         jnp.where(j == nb - 2, 0, nb - 1))
 
     def xslice(a):
         # hl is a vreg multiple, so this is a pure vreg-to-vreg copy
@@ -288,12 +323,73 @@ def _build_coupled_pass(
             w1_out = w2_out = None
         else:
             w1_out, w2_out, acc_out = refs.pop(0), refs.pop(0), refs.pop(0)
+        if ring:
+            # halo receive buffers (ANY memory): filled by the neighbors'
+            # remote copies, read back by the edge blocks' window DMAs
+            hs_bufs = [refs.pop(0) for _ in range(n_fields)]
+            hn_bufs = [refs.pop(0) for _ in range(n_fields)]
         scratches = refs  # DMA window buffers + x-extension staging buffers
+        if ring:
+            rsem = scratches.pop()  # remote recv semaphores
+            ssem = scratches.pop()  # remote send semaphores
         if dma:
             sem = scratches.pop()  # DMA semaphores ride last
             sbufs = [scratches.pop(0) for _ in range(n_fields)]
 
         i = pl.program_id(0)
+
+        if ring:
+            psize = np.int32(ring_size)  # match axis_index (x64-safe)
+            my = jax.lax.axis_index(ring_axis)
+            up_dev = jax.lax.rem(my + np.int32(1), psize)
+            dn_dev = jax.lax.rem(my + psize - np.int32(1), psize)
+
+            def rem_desc(fi, up):
+                """SPMD ring-copy descriptor for stacked field ``fi``:
+                ``up`` sends my top ``halo`` rows to the up-neighbor's south
+                buffer (so my own hs receives from my down-neighbor running
+                the same descriptor); ``not up`` sends my bottom rows to the
+                down-neighbor's north buffer."""
+                if up:
+                    return pltpu.make_async_remote_copy(
+                        src_ref=f_hbm[fi].at[:, pl.ds(ny - halo, halo), :],
+                        dst_ref=hs_bufs[fi],
+                        send_sem=ssem.at[fi, 0], recv_sem=rsem.at[fi, 0],
+                        device_id=up_dev,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    )
+                return pltpu.make_async_remote_copy(
+                    src_ref=f_hbm[fi].at[:, pl.ds(0, halo), :],
+                    dst_ref=hn_bufs[fi],
+                    send_sem=ssem.at[fi, 1], recv_sem=rsem.at[fi, 1],
+                    device_id=dn_dev,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+
+            @pl.when(i == 0)
+            def _():
+                if not interp:
+                    # All ring participants must have entered this pass
+                    # before any remote write lands (buffer-liveness across
+                    # chained invocations); interpret-mode discharge is
+                    # synchronous and needs no barrier.
+                    bsem = pltpu.get_barrier_semaphore()
+                    pltpu.semaphore_signal(
+                        bsem, 1, device_id=up_dev,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL)
+                    pltpu.semaphore_signal(
+                        bsem, 1, device_id=dn_dev,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL)
+                    pltpu.semaphore_wait(bsem, 2)
+                for fi in range(n_fields):
+                    rem_desc(fi, True).start()
+                    rem_desc(fi, False).start()
+
+            @pl.when(i == nb - 1)
+            def _():
+                for fi in range(n_fields):
+                    rem_desc(fi, True).wait_send()
+                    rem_desc(fi, False).wait_send()
 
         def _window_copies(fi, slot, j, top):
             """Async-copy descriptors loading stacked field ``fi``'s block-j
@@ -320,7 +416,56 @@ def _build_coupled_pass(
             return [seg((j * br - halo) % ny, halo, 0, 0),
                     seg(j * br, br + halo, halo, 1)]
 
+        def _ring_copies(fi, slot, jb, kind):
+            """Ring-mode window segments for block ``jb``: interior blocks
+            stream one contiguous core slice; the south/north edge blocks
+            take their outer ``halo`` rows from the remote-filled hs/hn
+            buffers instead of a periodic wrap."""
+            buf = sbufs[fi]
+
+            def seg(src, d0, n, sidx):
+                dst = (buf.at[slot, :, pl.ds(d0, n), pl.ds(hl, nx)]
+                       if ext_x else buf.at[slot, :, pl.ds(d0, n), :])
+                return pltpu.make_async_copy(src, dst, sem.at[fi, slot, sidx])
+
+            core = f_hbm[fi]
+            if kind == "south":  # jb == 0
+                return [seg(hs_bufs[fi].at[:, :, :], 0, halo, 0),
+                        seg(core.at[:, pl.ds(0, br + halo), :], halo,
+                            br + halo, 1)]
+            if kind == "north":  # jb == nb - 1
+                return [seg(core.at[:, pl.ds(ny - br - halo, br + halo), :],
+                            0, br + halo, 0),
+                        seg(hn_bufs[fi].at[:, :, :], br + halo, halo, 1)]
+            s0 = pl.multiple_of(jb * br - halo, 8)
+            return [seg(core.at[:, pl.ds(s0, win), :], 0, win, 0)]
+
         def _window_io(slot, j, op):
+            # Descriptors are built inside their branch: an unconsumed
+            # descriptor is an error in interpret mode.
+            if ring:
+                jb = pblk(j)
+                for fi in range(n_fields):
+                    @pl.when(jb == 0)
+                    def _():
+                        if op == "start":
+                            # halo must have landed before reading it back
+                            rem_desc(fi, True).wait_recv()
+                        for d in _ring_copies(fi, slot, jb, "south"):
+                            getattr(d, op)()
+
+                    @pl.when(jb == nb - 1)
+                    def _():
+                        if op == "start":
+                            rem_desc(fi, False).wait_recv()
+                        for d in _ring_copies(fi, slot, jb, "north"):
+                            getattr(d, op)()
+
+                    @pl.when((jb != 0) & (jb != nb - 1))
+                    def _():
+                        for d in _ring_copies(fi, slot, jb, "mid"):
+                            getattr(d, op)()
+                return
             for fi in range(n_fields):
                 @pl.when(j != nb - 1)
                 def _():
@@ -421,12 +566,21 @@ def _build_coupled_pass(
             w2_out[...] = xslice(prev[:, own])
         acc_out[...] = xslice(acc)
 
-    def blk(index_map=lambda i: (0, i, 0)):
+    def _pblk_map(j):
+        # index-map counterpart of the kernel-side pblk() reorder
+        if not ring or nb <= 2:
+            return j
+        return jnp.where(j < nb - 2, j + 1,
+                         jnp.where(j == nb - 2, 0, nb - 1))
+
+    def blk(index_map=None):
+        if index_map is None:
+            index_map = lambda i: (0, _pblk_map(i), 0)
         return pl.BlockSpec((2, br, nx), index_map, memory_space=pltpu.VMEM)
 
     def views():
         return [
-            blk(),
+            blk(lambda i: (0, i, 0)),
             blk(lambda i: (0, (i - 1) % nb, 0)),
             blk(lambda i: (0, (i + 1) % nb, 0)),
         ]
@@ -440,9 +594,24 @@ def _build_coupled_pass(
     if not first_pass:
         in_specs.append(blk())
     in_specs += [
-        pl.BlockSpec((1, win, wx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, win, wx), lambda i: (_pblk_map(i), 0, 0),
+                     memory_space=pltpu.VMEM)
         for _ in range(len(coef_names))
     ]
+
+    n_out = 1 if last_pass else 3
+    out_specs = [blk() for _ in range(n_out)]
+    out_shape = [
+        jax.ShapeDtypeStruct((2, ny, nx), dtype) for _ in range(n_out)
+    ]
+    if ring:
+        # halo receive buffers (written by the neighbors' remote DMAs)
+        out_specs += [pl.BlockSpec(memory_space=pl.ANY)
+                      for _ in range(2 * n_fields)]
+        out_shape += [
+            jax.ShapeDtypeStruct((2, halo, nx), dtype)
+            for _ in range(2 * n_fields)
+        ]
 
     scratch_shapes = []
     if dma:
@@ -457,16 +626,17 @@ def _build_coupled_pass(
         scratch_shapes.append(pltpu.VMEM((2, br, wx), dtype))  # acc
     if dma:
         scratch_shapes.append(pltpu.SemaphoreType.DMA((n_fields, 2, 2)))
+    if ring:
+        # popped from the end in the kernel: ..., sem, ssem, rsem
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((n_fields, 2)))
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((n_fields, 2)))
 
-    n_out = 1 if last_pass else 3
     grid_call = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=[blk() for _ in range(n_out)],
-        out_shape=[
-            jax.ShapeDtypeStruct((2, ny, nx), dtype) for _ in range(n_out)
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=4 * len(coef_names) * n_ops * nb * win * wx,
@@ -476,10 +646,13 @@ def _build_coupled_pass(
         ),
         # lift Mosaic's default 16 MiB scoped-vmem cap: the fast configs
         # (single whole-recurrence pass) legitimately use ~60 MB of the
-        # chip's 128 MB VMEM (ignored in interpret mode)
+        # chip's 128 MB VMEM (ignored in interpret mode).
+        # Ring kernels use the entry barrier semaphore -> collective_id.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
-        interpret=jax.default_backend() != "tpu",
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+            **({"collective_id": 0} if ring and not interp else {}),
+        ),
+        interpret=interp,
     )
 
     n_rep = 1 if dma else 3  # DMA windows take the field once
@@ -493,18 +666,24 @@ def _build_coupled_pass(
             args.append(fields_and_acc[n_fields])
         args += list(coef_exts)
         out = grid_call(*args)
+        # drop the 2*n_fields halo receive buffers riding as trailing outputs
+        out = out[: 1 if last_pass else 3]
         return out[0] if last_pass else tuple(out)
 
     return pass_fn
 
 
-def build_vec_pass(ny, nx, dtype, plan, n_ops, first_pass, last_pass, zap=True):
+def build_vec_pass(ny, nx, dtype, plan, n_ops, first_pass, last_pass,
+                   zap=True, ring_axis=None, ring_size=0):
     """B-grid coupled pass; coefficients from :func:`host_vec_ext_inputs`."""
     return _build_coupled_pass((*_DIFF, *_MIX), _bgrid_lap, ny, nx, dtype,
-                               plan, n_ops, first_pass, last_pass, zap)
+                               plan, n_ops, first_pass, last_pass, zap,
+                               ring_axis=ring_axis, ring_size=ring_size)
 
 
-def build_ctap_pass(ny, nx, dtype, plan, n_ops, first_pass, last_pass, zap=True):
+def build_ctap_pass(ny, nx, dtype, plan, n_ops, first_pass, last_pass,
+                    zap=True, ring_axis=None, ring_size=0):
     """C-grid tap pass; coefficients from :func:`host_ctap_ext_inputs`."""
     return _build_coupled_pass(_CTAP_NAMES, _ctap_lap, ny, nx, dtype,
-                               plan, n_ops, first_pass, last_pass, zap)
+                               plan, n_ops, first_pass, last_pass, zap,
+                               ring_axis=ring_axis, ring_size=ring_size)

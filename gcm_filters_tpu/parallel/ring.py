@@ -26,6 +26,12 @@ y-sharding (every other mesh axis size 1), 2-D f32 fields, a global plan
 with 8-row-aligned halos whose block height divides the local rows with
 >= 2 blocks per shard.
 
+Both operator families are covered: the scalar pass kernels
+(:func:`make_ring_scalar_apply`) and the coupled vector kernels
+(:func:`make_ring_vector_apply`, B-grid and tap-expanded C-grid), whose
+remote copies carry the stacked (u, v) pair so each pass still issues
+exactly two sends per live field.
+
 Real-hardware status: the kernel includes the entry barrier
 (``pltpu.get_barrier_semaphore`` + ``collective_id``) required for
 cross-invocation buffer safety on real multi-chip TPU, but this environment
@@ -77,6 +83,22 @@ def _axis_size(mesh: Mesh, name: Optional[str]) -> int:
     return mesh.shape[name]
 
 
+def _ring_mesh_for(mesh: Mesh, spatial_axes):
+    """(ring_mesh, yax, p_y) for a strict 1-D y-decomposition, else None.
+
+    The sub-mesh carries the SAME devices on a single named axis: the
+    remote-DMA discharge rule (interpret mode) supports exactly one named
+    axis in the environment, and the ring only permutes along y anyway.
+    """
+    yax, _ = spatial_axes
+    p_y = _axis_size(mesh, yax)
+    if yax is None or p_y < 2:
+        return None
+    if any(n != yax and mesh.shape[n] != 1 for n in mesh.axis_names):
+        return None
+    return Mesh(mesh.devices.reshape(p_y), (yax,)), yax, p_y
+
+
 def make_ring_scalar_apply(
     stencil: ScalarStencil5,
     spec: FilterSpec,
@@ -89,17 +111,10 @@ def make_ring_scalar_apply(
     Returns an apply callable whose per-shape builds may themselves return
     None (caller falls back to the round-based engine for that shape).
     """
-    yax, xax = spatial_axes
-    p_y = _axis_size(mesh, yax)
-    if yax is None or p_y < 2:
+    meshed = _ring_mesh_for(mesh, spatial_axes)
+    if meshed is None:
         return None
-    # strict 1-D y-decomposition: every other mesh axis must be size 1
-    if any(n != yax and mesh.shape[n] != 1 for n in mesh.axis_names):
-        return None
-    # Single-axis sub-mesh over the same devices: the remote-DMA discharge
-    # rule (interpret mode) supports exactly one named axis in the
-    # environment, and the ring only permutes along y anyway.
-    ring_mesh = Mesh(mesh.devices.reshape(p_y), (yax,))
+    ring_mesh, yax, p_y = meshed
 
     import dataclasses
 
@@ -192,6 +207,140 @@ def make_ring_scalar_apply(
             return None
         fn, ext_dev = entry
         return fn(field, *ext_dev)
+
+    apply_fn.shape_cache = cache  # exposed for tests
+    return apply_fn
+
+
+def make_ring_vector_apply(
+    operator,
+    spec: FilterSpec,
+    mesh: Mesh,
+    spatial_axes: Tuple[Optional[str], Optional[str]],
+):
+    """``(u, v) -> (fu, fv)`` via per-shard ring kernels, or None.
+
+    Vector analogue of :func:`make_ring_scalar_apply`: the coupled pass
+    kernels (ops/pallas/vec_pass.py) run the GLOBAL plan per shard of a 1-D
+    y-decomposition with the halo exchange done inside the kernel by
+    ``make_async_remote_copy`` ring sends on the stacked (u, v) pair. Same
+    eligibility gates; the stacked halo buffers carry both components so
+    each pass still issues exactly two remote copies per live field.
+    """
+    meshed = _ring_mesh_for(mesh, spatial_axes)
+    if meshed is None:
+        return None
+    ring_mesh, yax, p_y = meshed
+
+    from ..ops.stencil import BGridVectorStencil, CGridVectorOperator
+    from ..ops.pallas.vec_pass import (
+        build_ctap_pass,
+        build_vec_pass,
+        host_ctap_ext_inputs,
+        host_vec_ext_inputs,
+        plan_ctap_passes,
+        plan_vec_passes,
+    )
+    from ..engine import _laplacian_scale
+
+    if isinstance(operator, BGridVectorStencil):
+        is_ctap = False
+    elif isinstance(operator, CGridVectorOperator):
+        is_ctap = True
+    else:
+        return None
+
+    p_host = np.asarray(spec.p)
+    scale = _laplacian_scale(spec, operator.is_dimensional)
+    taps_cache = []  # lazy: large at production sizes
+
+    def _taps():
+        if not taps_cache:
+            from ..ops.ctaps import cgrid_tap_arrays
+
+            taps_cache.append(cgrid_tap_arrays(operator))
+        return taps_cache[0]
+
+    field_spec = P(yax, None)
+
+    def _build(ny, nx, dtype):
+        if np.dtype(dtype).itemsize != 4 or ny % p_y:
+            return None
+        ly = ny // p_y
+        planner = plan_ctap_passes if is_ctap else plan_vec_passes
+        plan = planner(
+            ny, nx, spec.n_steps, np.dtype(dtype).itemsize,
+            halo_mult=8,  # ring DMA segments demand 8-row-aligned halos
+            br_divides=ly,
+        )
+        if plan is None or plan.halo > plan.br:
+            return None
+        if ly % plan.br or ly // plan.br < 2:
+            return None
+        wx, xhl = _ext_geometry(nx, plan.halo)
+        if wx != nx and (nx < xhl or nx < wx - nx - xhl):
+            return None
+
+        build = build_ctap_pass if is_ctap else build_vec_pass
+        pass_fns = []
+        off = 0
+        for m, n_ops in enumerate(plan.steps):
+            first = m == 0
+            last = m == len(plan.steps) - 1
+            fn = build(ly, nx, dtype, plan, n_ops, first, last,
+                       zap=operator.zap_nans,
+                       ring_axis=yax, ring_size=p_y)
+            n_p = n_ops + 1 if first else n_ops
+            pass_fns.append((fn, off, n_p, first, last))
+            off += n_p
+
+        # GLOBAL extended-block coefficient layouts, sharded over their
+        # leading (block) axis: each shard holds exactly its blocks.
+        if is_ctap:
+            ext_host = host_ctap_ext_inputs(_taps(), plan, dtype, scale)
+        else:
+            ext_host = host_vec_ext_inputs(operator, plan, dtype, scale)
+        ext_sharding = NamedSharding(ring_mesh, P(yax, None, None))
+        ext_dev = [jax.device_put(jnp.asarray(e), ext_sharding)
+                   for e in ext_host]
+        n_exts = len(ext_dev)
+
+        def local_run(u, v, *exts):
+            # prepare/finalize are identity for both vector operators
+            # (parity with the unsharded dispatcher, dispatch.py run())
+            w = jnp.stack([u, v])
+            p = jnp.asarray(p_host, dtype=dtype)
+            state = (w,)
+            for fn, poff, n_p, first, last in pass_fns:
+                out = fn(p[poff : poff + n_p], exts, *state)
+                state = (out,) if last else out
+            acc = state[0]
+            return acc[0], acc[1]
+
+        run = shard_map(
+            local_run,
+            mesh=ring_mesh,
+            in_specs=(field_spec, field_spec)
+            + (P(yax, None, None),) * n_exts,
+            out_specs=(field_spec, field_spec),
+            check_vma=False,
+        )
+        return jax.jit(run), ext_dev
+
+    cache = {}
+
+    def apply_fn(u, v):
+        """2-D compute-dtype (u, v) -> (fu, fv), or None if this shape is
+        ring-ineligible (caller falls back)."""
+        ny, nx = u.shape[-2:]
+        key = (ny, nx, str(u.dtype))
+        if key not in cache:
+            cache[key] = _build(ny, nx, u.dtype)
+        entry = cache[key]
+        if entry is None:
+            return None
+        fn, ext_dev = entry
+        return fn(u, v, *ext_dev)
 
     apply_fn.shape_cache = cache  # exposed for tests
     return apply_fn

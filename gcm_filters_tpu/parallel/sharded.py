@@ -1010,6 +1010,21 @@ def make_sharded_vector_apply(
     _primary = [None]  # a callable = injected override (tests)
     _pinned = set()  # (ly, lx, dtype) whose kernel failed to compile
 
+    # In-kernel ring halo exchange (parallel/ring.py): the compute/comm
+    # overlap path for 1-D y-sharded meshes — built lazily, None = tried
+    # and ineligible / disabled, False sentinel before first attempt.
+    _ring = [False]
+
+    def _ring_for():
+        if _ring[0] is False:
+            from . import ring as _ring_mod
+
+            _ring[0] = None
+            if batch_axis is None and _ring_mod.ring_enabled():
+                _ring[0] = _ring_mod.make_ring_vector_apply(
+                    operator, spec, mesh, spatial_axes)
+        return _ring[0]
+
     def apply_fn(u, v):
         u3, restore = _normalize(u)
         v3, _ = _normalize(v)
@@ -1025,6 +1040,27 @@ def make_sharded_vector_apply(
         ly = u3.shape[-2] // y_axis[1]
         lx = u3.shape[-1] // x_axis[1]
         key = (ly, lx, str(dtype))
+        # _normalize always yields a leading batch dim; ring handles the
+        # single-pair case (true batches keep the round-based path)
+        if (u3.shape[0] == 1 and _primary[0] is None
+                and ("ring",) + key not in _pinned and _pallas_on(dtype)):
+            rf = _ring_for()
+            if rf is not None:
+                try:
+                    res = rf(u3[0], v3[0])
+                    if res is not None:
+                        fu, fv = res
+                        return restore(fu[None]), restore(fv[None])
+                except COMPILE_ERRORS:
+                    from ..utils.telemetry import record_fallback
+
+                    _pinned.add(("ring",) + key)
+                    record_fallback(
+                        "ring_pallas_compile_fallback",
+                        f"ring halo-exchange vector kernel for shape "
+                        f"{u3.shape[-2:]} dtype {u3.dtype} failed to "
+                        f"compile; falling back to round-based exchange",
+                    )
         use_pl = (
             key not in _pinned
             and _pallas_on(dtype)

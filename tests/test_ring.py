@@ -139,6 +139,97 @@ def test_ring_via_filter_with_fallbacks(monkeypatch):
         base.operator, base.filter_spec, mesh2d, ("y", "x")) is None
 
 
+def _cgrid_vars(ny, nx, rng):
+    dxy = 0.9 + 0.2 * rng.random((ny, nx))
+    ones = np.ones((ny, nx))
+    return dict(wet_mask_t=ones, wet_mask_q=ones,
+                dxT=dxy, dyT=dxy, dxCu=dxy, dyCu=dxy, dxCv=dxy, dyCv=dxy,
+                dxBu=dxy, dyBu=dxy, area_u=dxy * dxy, area_v=dxy * dxy,
+                kappa_iso=ones, kappa_aniso=ones)
+
+
+def _bgrid_vars(ny, nx, rng):
+    dxy = 0.9 + 0.2 * rng.random((ny, nx))
+    return dict(DXU=dxy, DYU=dxy, HUS=dxy, HUW=dxy, HTE=dxy, HTN=dxy,
+                UAREA=dxy * dxy, TAREA=dxy * dxy)
+
+
+@pytest.mark.parametrize("gt_name,n_steps", [
+    ("VECTOR_C_GRID", None),
+    ("VECTOR_C_GRID", 37),  # multi-pass: middles stream 2 stacked fields
+    ("VECTOR_B_GRID", None),
+])
+def test_ring_vector_matches_unsharded_pallas_bitwise(
+        monkeypatch, gt_name, n_steps):
+    """The coupled (u, v) ring kernels run the global plan per shard with
+    in-kernel remote halo exchange on the stacked pair; windows contain
+    exactly the unsharded kernel's rows, so the result is bitwise equal."""
+    from gcm_filters_tpu.ops.pallas import make_pallas_vector_apply
+
+    ny, nx = 768, 256
+    rng = np.random.default_rng(9)
+    gt = getattr(GridType, gt_name)
+    gv = (_cgrid_vars if gt_name == "VECTOR_C_GRID" else _bgrid_vars)(
+        ny, nx, rng)
+    count = _remote_spy(monkeypatch)
+    kw = {"n_steps": n_steps} if n_steps else {}
+    filt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=gt, grid_vars=gv,
+                  use_pallas=False, **kw)
+    rf = ring_mod.make_ring_vector_apply(
+        filt.operator, filt.filter_spec, _ymesh(8), ("y", "x"))
+    assert rf is not None
+    u = jnp.asarray(rng.random((ny, nx)), dtype=jnp.float32)
+    v = jnp.asarray(rng.random((ny, nx)), dtype=jnp.float32)
+    res = rf(u, v)
+    assert res is not None and count, (gt_name, n_steps)
+    want = make_pallas_vector_apply(filt.operator, filt.filter_spec)(u, v)
+    for got_c, want_c, name in zip(res, want, "uv"):
+        np.testing.assert_array_equal(
+            np.asarray(got_c), np.asarray(want_c),
+            err_msg=f"{gt_name} {n_steps} {name}")
+
+
+def test_ring_vector_via_filter_with_fallbacks(monkeypatch):
+    """Filter.apply_to_vector on a y-only mesh routes through the vector
+    ring path for 2-D f32 pairs and falls back (still correct) for batches
+    and x-sharded meshes."""
+    ny, nx = 768, 256
+    rng = np.random.default_rng(10)
+    gv = _cgrid_vars(ny, nx, rng)
+    u = rng.random((ny, nx)).astype(np.float32)
+    v = rng.random((ny, nx)).astype(np.float32)
+    kw = dict(filter_scale=6.0, dx_min=1.0,
+              grid_type=GridType.VECTOR_C_GRID, grid_vars=gv)
+    base = Filter(**kw, use_pallas=False)
+    wu, wv = (np.asarray(a) for a in base.apply_to_vector(u, v))
+    # single f32 apply: Pallas and the XLA engine differ at f32 rounding on
+    # O(10) values, so the tolerance is absolute at that scale
+    tol = dict(rtol=2e-5, atol=2e-5)
+    count = _remote_spy(monkeypatch)
+
+    filt = Filter(**kw, use_pallas=True, mesh=_ymesh(8),
+                  spatial_axes=("y", "x"))
+    n0 = len(count)
+    fu, fv = (np.asarray(a) for a in filt.apply_to_vector(u, v))
+    assert len(count) > n0, "vector ring path not engaged on y-only mesh"
+    np.testing.assert_allclose(fu, wu, **tol)
+    np.testing.assert_allclose(fv, wv, **tol)
+
+    # batch input: ring skipped, result still matches
+    ub, vb = np.stack([u, 2 * u]), np.stack([v, 2 * v])
+    n0 = len(count)
+    fub, fvb = (np.asarray(a) for a in filt.apply_to_vector(ub, vb))
+    assert len(count) == n0
+    wub, wvb = (np.asarray(a) for a in base.apply_to_vector(ub, vb))
+    np.testing.assert_allclose(fub, wub, **tol)
+    np.testing.assert_allclose(fvb, wvb, **tol)
+
+    # x-sharded mesh: ring ineligible (builder returns None)
+    mesh2d = Mesh(np.array(jax.devices()).reshape(2, 4), ("y", "x"))
+    assert ring_mod.make_ring_vector_apply(
+        base.operator, base.filter_spec, mesh2d, ("y", "x")) is None
+
+
 def test_ring_exact_nan_mode(monkeypatch):
     """exact_nan streams the per-step pre-mask; the ring path must stay
     bitwise equal to the unsharded kernel with a wet-cell NaN present."""
