@@ -38,6 +38,9 @@ Two phases (one command each):
                                     # subprocess if the npz is missing), writes VERIFY_TPU.json
   ... --quick                       # skip the 2400x3600 production cases
   ... --golden-prod                 # (subprocess) production goldens only
+  ... --dma                         # force _DMA_WINDOWS=True (gate the
+                                    # manual-DMA kernels before a default
+                                    # flip) -> VERIFY_TPU_DMA.json
 
 Tunnel notes: inputs/results are ~0.5 MB f32 each — full transfers at this
 size are fine through axon; only timing-sensitive work must avoid them.
@@ -279,13 +282,22 @@ def _norm_max_err(got, want):
     return float(np.max(np.abs(np.asarray(got, np.float64) - want))) / scale
 
 
-def phase_tpu(quick=False):
+def phase_tpu(quick=False, dma=False):
     import jax
     import jax.numpy as jnp
 
     from gcm_filters_tpu import Filter
     from gcm_filters_tpu.models.grids import is_vector_grid
     from gcm_filters_tpu.utils import telemetry
+
+    out_path = OUT_PATH
+    if dma:
+        # gate the manual-DMA window kernels (benchmarks/sweep_dma.py's
+        # subject) with the same case set before any default flip
+        import gcm_filters_tpu.ops.pallas.cheb_pass as _cp
+
+        _cp._DMA_WINDOWS = True
+        out_path = OUT_PATH.replace(".json", "_DMA.json")
 
     platform = jax.devices()[0].platform
     z = np.load(GOLDEN_PATH)
@@ -453,10 +465,12 @@ def phase_tpu(quick=False):
         "ok": ok_all,
         "cases": results,
     }
-    with open(OUT_PATH, "w") as f:
+    if dma:
+        report["dma_windows"] = True
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(f"{'OK' if ok_all else 'FAILED'}: {len(results)} cases "
-          f"on {platform} -> {OUT_PATH}")
+          f"on {platform} -> {out_path}")
     return 0 if ok_all else 1
 
 
@@ -476,7 +490,7 @@ def main():
               "(subprocess, several minutes)...")
         subprocess.run([sys.executable, __file__, "--golden-prod"],
                        check=True)
-    return phase_tpu(quick=quick)
+    return phase_tpu(quick=quick, dma="--dma" in sys.argv)
 
 
 if __name__ == "__main__":
