@@ -1,0 +1,87 @@
+"""On-chip measurement of the experimental bf16 kernel streams.
+
+VERDICT r2 item #9: bf16 was summarily promoted to f32 on the claim of "no
+VPU throughput win" without data. The counter-hypothesis: the multi-pass
+taper and the 5-coefficient grids are stream-dominated by the repo's own
+cost model, where halving HBM traffic is a potential ~2x. This sweep
+measures exactly that — the same configs at f32 vs native-bf16 streams
+(dispatch._NARROW_BF16 opt-in) — and also records the accuracy cost
+(max relative deviation from the f32 result), so the default can be decided
+from numbers rather than assertion.
+
+Run: python benchmarks/sweep_bf16.py [--quick]
+Appends results to benchmarks/sweep_bf16.json.
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import gcm_filters_tpu as gf
+import gcm_filters_tpu.ops.pallas.dispatch as dp
+from bench_suite import chain_time, grid_vars_for
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--chain", type=int, default=None)
+    args = ap.parse_args()
+
+    dp._NARROW_BF16 = True  # opt-in: bf16 requests run the fused kernels
+    ny, nx = (1200, 1800) if args.quick else (2400, 3600)
+    n_chain = args.chain or (5 if args.quick else 200)
+    rng = np.random.default_rng(42)
+    data = rng.random((ny, nx)).astype(np.float32)
+    G = gf.GridType
+
+    print(f"# device={jax.devices()[0].device_kind} domain={ny}x{nx}",
+          flush=True)
+
+    cfgs = [
+        ("taper", G.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+         dict(filter_shape=gf.FilterShape.TAPER)),
+        ("irregular", G.IRREGULAR_WITH_LAND, {}),
+        ("headline", G.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED, {}),
+    ]
+    out = []
+    for name, grid, kw in cfgs:
+        gv = grid_vars_for(grid, ny, nx, rng)
+        filt = gf.Filter(filter_scale=10.0, dx_min=1.0, grid_type=grid,
+                         grid_vars=gv, dtype=jnp.float32, use_pallas=True,
+                         **kw)
+        fn = filt._scalar_fn()
+        x32 = jnp.asarray(data)
+        x16 = jnp.asarray(data, dtype=jnp.bfloat16)
+        row = dict(config=name, n_steps=filt.n_steps)
+        # accuracy first (also warms both compiled artifacts)
+        y32 = np.asarray(fn(x32), dtype=np.float64)
+        y16 = np.asarray(fn(x16), dtype=np.float64)
+        fin = np.isfinite(y32)
+        scale = float(np.max(np.abs(y32[fin]))) or 1.0
+        row["bf16_rel_err"] = round(
+            float(np.max(np.abs(y16[fin] - y32[fin]))) / scale, 5)
+        row["bf16_pinned_xla"] = (
+            fn.shape_cache.get((ny, nx, "bfloat16")) == "xla")
+        for dt_name, x in (("f32", x32), ("bf16", x16)):
+            dt = chain_time(fn, x, n_chain)
+            row[f"ms_{dt_name}"] = round(dt * 1e3, 3)
+            row[f"gps_{dt_name}"] = round(ny * nx * filt.n_steps / dt / 1e9, 2)
+        row["speedup"] = round(row["ms_f32"] / row["ms_bf16"], 3)
+        out.append(row)
+        print(json.dumps(row), flush=True)
+
+    with open(os.path.join(os.path.dirname(__file__), "sweep_bf16.json"),
+              "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

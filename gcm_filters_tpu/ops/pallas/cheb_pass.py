@@ -92,25 +92,44 @@ _MIRROR_SWAP = {"c": "c", "n": "s", "s": "n", "e": "w", "w": "e"}
 _DMA_WINDOWS: bool = False
 
 
+def _sublane_tile(itemsize: int) -> int:
+    """Rows per sublane tile for the element width: 8 for f32, 16 for bf16
+    (f64 is kept at the conservative 8 the f32 path uses)."""
+    return max(8, 32 // itemsize)
+
+
+def p_dtype(dtype):
+    """SMEM dtype of the Chebyshev coefficient vector: the stream dtype for
+    >=4-byte floats, f32 for narrow (bf16) streams — the f32 scalar
+    coefficients keep the in-register accumulator f32 across the fused
+    steps (rounded to the stream dtype only at pass boundaries) and avoid
+    narrow-scalar SMEM layouts."""
+    return jnp.float32 if np.dtype(dtype).itemsize < 4 else dtype
+
+
 def _dma_on(cfg: "_PassConfig") -> bool:
     on = _DMA_WINDOWS or cfg.ring_axis is not None  # ring REQUIRES manual DMA
     wx = cfg.wx or cfg.nx
     wr = wx - cfg.nx - cfg.xhl
+    itemsize = np.dtype(cfg.dtype).itemsize
+    tile = _sublane_tile(itemsize)
     return (
         on
-        and cfg.halo % 8 == 0
-        and cfg.br % 8 == 0
+        and cfg.halo % tile == 0
+        and cfg.br % tile == 0
         and cfg.nb >= 2
-        and np.dtype(cfg.dtype).itemsize == 4
+        and itemsize in (2, 4)
         and (wx == cfg.nx or (cfg.nx >= cfg.xhl and cfg.nx >= wr))
     )
 
 
-def _halo_mult() -> int:
-    """Plan-halo rounding: 4 keeps window heights sublane-aligned (br+2H);
-    the DMA-window path additionally needs H itself 8-row aligned (HBM
-    slice constraint), at the price of a slightly taller trapezoid."""
-    return 8 if _DMA_WINDOWS else 4
+def _halo_mult(itemsize: int = 4) -> int:
+    """Plan-halo rounding: tile/2 keeps window heights sublane-aligned
+    (br+2H); the DMA-window path additionally needs H itself tile-row
+    aligned (HBM slice constraint), at the price of a slightly taller
+    trapezoid. The tile is 8 rows for f32, 16 for bf16."""
+    tile = _sublane_tile(itemsize)
+    return tile if _DMA_WINDOWS else tile // 2
 
 
 def _lane_width(nx: int, halo: int) -> int:
@@ -208,11 +227,13 @@ def plan_passes(
     row_bytes = nx * itemsize
     budget_rows = _VMEM_BUDGET_WIDE // row_bytes
 
-    # Candidate block heights: multiples of 8 dividing ny. Heavy-coefficient
-    # stencils cap the block height — many live coefficient windows degrade
-    # pipelining at large br (measured: 5-coef br=96 runs 0.64x of br=48).
+    # Candidate block heights: sublane-tile multiples dividing ny (8 rows
+    # for f32, 16 for bf16). Heavy-coefficient stencils cap the block
+    # height — many live coefficient windows degrade pipelining at large br
+    # (measured: 5-coef br=96 runs 0.64x of br=48).
+    tile = _sublane_tile(itemsize)
     br_cap = min(ny, 512 if n_coef < 4 else 64)
-    brs = [b for b in range(8, br_cap + 1, 8) if ny % b == 0]
+    brs = [b for b in range(tile, br_cap + 1, tile) if ny % b == 0]
     if br_divides is not None:
         # ring mode: the block height must divide the LOCAL rows with at
         # least two blocks per shard (edge blocks need interior to overlap)
@@ -222,7 +243,7 @@ def plan_passes(
         return None
 
     if n_steps <= max_fuse:
-        hm = halo_mult or _halo_mult()
+        hm = halo_mult or _halo_mult(itemsize)
         halo = -(-n_steps // hm) * hm  # aligned single-pass halo
         cands = [
             b for b in brs
@@ -269,7 +290,7 @@ def plan_passes(
     steps = tuple(base + (1 if i < extra else 0) for i in range(n_pass))
     # Round the halo allocation up so the window height br+2*halo stays a
     # multiple of 8 (sublane tile): unaligned windows measured ~1.5x slower.
-    hm = halo_mult or _halo_mult()
+    hm = halo_mult or _halo_mult(itemsize)
     halo = min(br, -(-max(steps) // hm) * hm)
     return PassPlan(br=br, halo=halo, steps=steps)
 
@@ -393,7 +414,8 @@ class _PassConfig:
 
     @property
     def rows_m(self) -> int:
-        return max(8, self.halo)  # mirror chunks padded to the sublane tile
+        # mirror chunks padded to the sublane tile (8 rows f32, 16 bf16)
+        return max(_sublane_tile(np.dtype(self.dtype).itemsize), self.halo)
 
 
 def _build_pass_call(cfg: _PassConfig):
@@ -759,7 +781,7 @@ def _build_pass_call(cfg: _PassConfig):
         if not cfg.last_pass:
             t1_out[...] = xslice(cur[own])
             t2_out[...] = xslice(prev[own])
-            acc_out[...] = xslice(acc)
+            acc_out[...] = xslice(acc).astype(cfg.dtype)
             return
 
         if fuse:
@@ -782,7 +804,7 @@ def _build_pass_call(cfg: _PassConfig):
                 )
             if cfg.has_area:
                 acc = acc / area[own]
-        acc_out[...] = xslice(acc)
+        acc_out[...] = xslice(acc).astype(cfg.dtype)
 
     def _pblk_map(j):
         # index-map counterpart of the kernel-side pblk() reorder
@@ -954,7 +976,7 @@ def build_cheb_pass(
 
     def pass_fn(p_chunk, coef_exts, *fields_and_acc):
         fields = fields_and_acc[: cfg.n_fields]
-        args = [jnp.reshape(p_chunk, (1, cfg.n_p)).astype(dtype)]
+        args = [jnp.reshape(p_chunk, (1, cfg.n_p)).astype(p_dtype(dtype))]
         for f in fields:
             args += [f] * n_rep
         if not first_pass:
@@ -1082,7 +1104,7 @@ def build_local_pass(
 
     def pass_fn(p_chunk, coef_exts, *fields_and_acc):
         fields = fields_and_acc[: cfg.n_fields]
-        args = [jnp.reshape(p_chunk, (1, cfg.n_p)).astype(dtype)]
+        args = [jnp.reshape(p_chunk, (1, cfg.n_p)).astype(p_dtype(dtype))]
         for f in fields:
             args += [f] * n_rep
         if not first_pass:
@@ -1159,7 +1181,7 @@ def build_ring_pass(
 
     def pass_fn(p_chunk, coef_exts, *fields_and_acc):
         fields = fields_and_acc[: cfg.n_fields]
-        args = [jnp.reshape(p_chunk, (1, cfg.n_p)).astype(dtype)]
+        args = [jnp.reshape(p_chunk, (1, cfg.n_p)).astype(p_dtype(dtype))]
         for f in fields:
             args.append(f)
         if not first_pass:

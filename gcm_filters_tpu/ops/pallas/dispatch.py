@@ -67,12 +67,28 @@ def _compile_failure_errors():
 COMPILE_ERRORS = _compile_failure_errors()
 
 
+# Experimental bf16 kernel streams (VERDICT r2 item #9): with this flag on,
+# bfloat16 fields run the fused scalar pass kernels natively — bf16 field
+# and coefficient streams (halved HBM traffic on stream-bound configs: the
+# taper multi-pass and 5-coefficient grids), 16-row sublane tiles, and an
+# f32 in-register accumulator via f32 Chebyshev scalars (cheb_pass.p_dtype).
+# Default OFF: bf16 streams round coefficients to ~2^-8, far outside the
+# float32 parity tolerance — this is a measured-throughput experiment and
+# an opt-in fast mode, never a silent promotion. Flip via
+# gcm_filters_tpu.ops.pallas.dispatch._NARROW_BF16 = True.
+_NARROW_BF16: bool = False
+
+
 def _pallas_dtype_ok(dtype) -> bool:
     """The fused kernels are planned for >=4-byte floats; narrow floats
     (bf16/fp16) have different sublane tiles and no VPU throughput win on
-    this hardware, so they take the XLA engine."""
-    return (jnp.issubdtype(dtype, jnp.floating)
-            and np.dtype(dtype).itemsize >= 4)
+    this hardware, so they take the XLA engine — except bf16 under the
+    explicit ``_NARROW_BF16`` opt-in (see above)."""
+    if not jnp.issubdtype(dtype, jnp.floating):
+        return False
+    if np.dtype(dtype).itemsize >= 4:
+        return True
+    return _NARROW_BF16 and dtype == jnp.bfloat16
 
 
 def _lap_scale(spec: FilterSpec, is_dimensional: bool) -> float:
@@ -210,7 +226,9 @@ def make_pallas_scalar_apply(
                 # prepare/masking/finalize are all fused into the first and
                 # last kernel passes; nothing touches the field in XLA.
                 del arrays
-                p = jnp.asarray(p_host, dtype=dtype)
+                from .cheb_pass import p_dtype
+
+                p = jnp.asarray(p_host, dtype=p_dtype(dtype))
                 state = (field,)
                 for fn, off, n_p, first, last in pass_fns:
                     args = state + ((field,) if last and not first else ())
@@ -224,6 +242,19 @@ def make_pallas_scalar_apply(
                 )
                 return (lambda f, a, e: embedded(f)), arrays_dev, ext_dev
             return jax.jit(run), arrays_dev, ext_dev
+
+        if np.dtype(dtype).itemsize < 4:
+            # narrow (bf16) streams support only the fused-pass path; the
+            # pad-to-block and single-step fallbacks are planned for f32
+            # tiles, so ineligible shapes go straight to the XLA engine
+            arrays_dev = _cast_arrays(arrays_host, dtype)
+
+            def run_xla(field, arrays, exts):
+                del exts
+                return scalar_filter_apply(
+                    _merge_stencil(skeleton, arrays), spec, field)
+
+            return jax.jit(run_xla), arrays_dev, []
 
         # Pad-to-block rounds: shapes whose rows don't divide into
         # sublane-aligned blocks reuse the sharded engine's local compute

@@ -437,6 +437,10 @@ def make_sharded_scalar_apply(
     def _pallas_on(dtype) -> bool:
         from ..ops.pallas.dispatch import _pallas_dtype_ok
 
+        # the sharded local planners assume f32 sublane tiles; the
+        # experimental bf16 opt-in covers the single-device path only
+        if np.dtype(dtype).itemsize < 4:
+            return False
         if not pallas_eligible or not _pallas_dtype_ok(dtype):
             return False
         if use_pallas is not None:
@@ -775,6 +779,8 @@ def make_sharded_vector_apply(
     def _pallas_on(dtype) -> bool:
         from ..ops.pallas.dispatch import _pallas_dtype_ok
 
+        if np.dtype(dtype).itemsize < 4:  # see the scalar gate
+            return False
         if _coef_keys is None or not _pallas_dtype_ok(dtype):
             return False
         if use_pallas is not None:

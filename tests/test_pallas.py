@@ -299,6 +299,48 @@ def test_narrow_float_dtypes_take_xla_path():
     np.testing.assert_allclose(out16.astype(np.float64), out32, atol=0.02)
 
 
+def test_narrow_bf16_optin_runs_pallas(monkeypatch):
+    """With dispatch._NARROW_BF16 on, bf16 fields run the fused pass
+    kernels natively (bf16 field/coefficient streams, 16-row tiles, f32
+    accumulator via f32 Chebyshev scalars) instead of promoting to f32 —
+    the measured-throughput experiment for stream-bound configs.
+
+    Pins: (1) the Pallas path engages (shape not pinned to XLA), (2) the
+    output keeps the bf16 stream dtype, (3) the result tracks the f32
+    engine to bf16 stream accuracy (~2^-8 per-step rounding), including on
+    a 5-coefficient grid, a multi-pass taper split, and a fold grid."""
+    import gcm_filters_tpu.ops.pallas.dispatch as dp
+
+    monkeypatch.setattr(dp, "_NARROW_BF16", True)
+    ny, nx = 256, 512
+    rng = np.random.default_rng(11)
+    wet = np.ones((ny, nx)); wet[0] = 0; wet[:20, :40] = 0
+    m = 0.9 + 0.2 * rng.random((ny, nx))
+    ones = np.ones((ny, nx))
+    gv5 = dict(wet_mask=wet, dxw=m, dyw=1 + 0.05 * m, dxs=1 + 0.1 * m,
+               dys=m, area=m * m, kappa_w=ones, kappa_s=ones)
+    data = rng.random((ny, nx))
+    cases = [
+        (GridType.IRREGULAR_WITH_LAND, gv5, {}),
+        (GridType.REGULAR, {}, {}),
+        (GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+         {"area": m * m, "wet_mask": wet}, {"n_steps": 39}),
+    ]
+    for gt, gvars, kw in cases:
+        filt = Filter(filter_scale=10.0, dx_min=1.0, grid_type=gt,
+                      grid_vars=gvars, use_pallas=True, **kw)
+        fn = filt._scalar_fn()
+        out = fn(jnp.asarray(data, dtype=jnp.bfloat16))
+        assert out.dtype == jnp.bfloat16, gt
+        assert fn.shape_cache.get((ny, nx, "bfloat16")) != "xla", gt
+        want = np.asarray(filt.apply(data.astype(np.float32)))
+        got = np.asarray(out, dtype=np.float64)
+        fin = np.isfinite(want)
+        scale = np.max(np.abs(want[fin]))
+        err = np.max(np.abs(got[fin] - want[fin])) / scale
+        assert err < 0.06, (gt, err)  # measured 0.012-0.030 in interpret
+
+
 def test_mosaic_error_counts_as_compile_failure():
     from gcm_filters_tpu.ops.pallas.dispatch import COMPILE_ERRORS
 
