@@ -51,6 +51,7 @@ def main():
         ("irregular", G.IRREGULAR_WITH_LAND, {}),
         ("headline", G.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED, {}),
     ]
+    vec_cfgs = [G.VECTOR_C_GRID, G.VECTOR_B_GRID]
     out = []
     for name, grid, kw in cfgs:
         gv = grid_vars_for(grid, ny, nx, rng)
@@ -74,6 +75,37 @@ def main():
             dt = chain_time(fn, x, n_chain)
             row[f"ms_{dt_name}"] = round(dt * 1e3, 3)
             row[f"gps_{dt_name}"] = round(ny * nx * filt.n_steps / dt / 1e9, 2)
+        row["speedup"] = round(row["ms_f32"] / row["ms_bf16"], 3)
+        out.append(row)
+        print(json.dumps(row), flush=True)
+
+    # coupled vector kernels: the C-grid's 18 coefficient streams make it
+    # the most stream-bound config in the repo — the prime bf16 candidate
+    from bench_suite import chain_time_vec
+
+    for grid in vec_cfgs:
+        gv = grid_vars_for(grid, ny, nx, rng)
+        filt = gf.Filter(filter_scale=10.0, dx_min=1.0, grid_type=grid,
+                         grid_vars=gv, dtype=jnp.float32, use_pallas=True)
+        fn = filt._vector_fn()
+        u32 = jnp.asarray(data)
+        v32 = jnp.asarray(rng.random((ny, nx)).astype(np.float32))
+        u16, v16 = (jnp.asarray(a, jnp.bfloat16) for a in (u32, v32))
+        row = dict(config=grid.name, n_steps=filt.n_steps)
+        yu32, yv32 = (np.asarray(a, dtype=np.float64) for a in fn(u32, v32))
+        yu16, yv16 = (np.asarray(a, dtype=np.float64) for a in fn(u16, v16))
+        scale = max(float(np.max(np.abs(yu32))),
+                    float(np.max(np.abs(yv32)))) or 1.0
+        row["bf16_rel_err"] = round(
+            max(float(np.max(np.abs(yu16 - yu32))),
+                float(np.max(np.abs(yv16 - yv32)))) / scale, 5)
+        row["bf16_pinned_xla"] = (
+            fn.shape_cache.get((ny, nx, "bfloat16")) == "xla")
+        for dt_name, (a, b) in (("f32", (u32, v32)), ("bf16", (u16, v16))):
+            dt = chain_time_vec(fn, a, b, n_chain)
+            row[f"ms_{dt_name}"] = round(dt * 1e3, 3)
+            row[f"gps_{dt_name}"] = round(
+                2 * ny * nx * filt.n_steps / dt / 1e9, 2)
         row["speedup"] = round(row["ms_f32"] / row["ms_bf16"], 3)
         out.append(row)
         print(json.dumps(row), flush=True)

@@ -453,8 +453,10 @@ def make_pallas_vector_apply(operator, spec: FilterSpec):
         total_bytes = sum(int(e.nbytes) for e in ext_dev)
 
         def run(u, v, exts):
+            from .cheb_pass import p_dtype
+
             w = jnp.stack([u, v])
-            p = jnp.asarray(p_host, dtype=dtype)
+            p = jnp.asarray(p_host, dtype=p_dtype(dtype))
             state = (w,)
             for fn, off, n_p, first, last in pass_fns:
                 out = fn(p[off : off + n_p], exts, *state)

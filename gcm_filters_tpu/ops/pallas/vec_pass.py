@@ -107,7 +107,8 @@ def _plan_coupled(
     # windows actually occupy in VMEM.
     budget_rows = (_VMEM_BUDGET_WIDE - margin) // (
         _ext_geometry(nx, 16)[0] * itemsize)
-    brs = [b for b in range(8, min(ny, _BR_MAX) + 1, 8) if ny % b == 0]
+    tile = _cp._sublane_tile(itemsize)
+    brs = [b for b in range(tile, min(ny, _BR_MAX) + 1, tile) if ny % b == 0]
     if br_divides is not None:
         brs = [b for b in brs
                if br_divides % b == 0 and b <= br_divides // 2]
@@ -116,8 +117,8 @@ def _plan_coupled(
 
     def aligned_halo(h):
         # window heights stay sublane-aligned; the DMA-window path needs
-        # the halo itself 8-row aligned (HBM slice tiling, see cheb_pass)
-        hm = halo_mult or _halo_mult()
+        # the halo itself tile-row aligned (HBM slice tiling, see cheb_pass)
+        hm = halo_mult or _halo_mult(itemsize)
         return -(-h // hm) * hm
 
     # 1. single pass at the br closest to the sweet spot (largest first on
@@ -283,12 +284,13 @@ def _build_coupled_pass(
     # views defeat Mosaic's input pipelining; stream each stacked field
     # once from an ANY(HBM) ref into a double-buffered VMEM scratch with
     # the block-(i+1) prefetch issued before block i's compute.
+    tile = _cp._sublane_tile(npdt.itemsize)
     dma = (
         (_cp._DMA_WINDOWS or ring)  # ring REQUIRES manual DMA
-        and halo % 8 == 0
-        and br % 8 == 0
+        and halo % tile == 0
+        and br % tile == 0
         and nb >= 2
-        and npdt.itemsize == 4
+        and npdt.itemsize in (2, 4)
         and (not ext_x or (nx >= hl and nx >= wr))
     )
     if ring:
@@ -564,7 +566,9 @@ def _build_coupled_pass(
         if not last_pass:
             w1_out[...] = xslice(cur[:, own])
             w2_out[...] = xslice(prev[:, own])
-        acc_out[...] = xslice(acc)
+        # narrow (bf16) streams accumulate in f32 registers (f32 Chebyshev
+        # scalars, see cheb_pass.p_dtype); round at the pass boundary only
+        acc_out[...] = xslice(acc).astype(dtype)
 
     def _pblk_map(j):
         # index-map counterpart of the kernel-side pblk() reorder
@@ -659,7 +663,7 @@ def _build_coupled_pass(
 
     def pass_fn(p_chunk, coef_exts, *fields_and_acc):
         fields = fields_and_acc[:n_fields]
-        args = [jnp.reshape(p_chunk, (1, n_p)).astype(dtype)]
+        args = [jnp.reshape(p_chunk, (1, n_p)).astype(_cp.p_dtype(dtype))]
         for f in fields:
             args += [f] * n_rep
         if not first_pass:

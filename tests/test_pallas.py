@@ -340,6 +340,27 @@ def test_narrow_bf16_optin_runs_pallas(monkeypatch):
         err = np.max(np.abs(got[fin] - want[fin])) / scale
         assert err < 0.06, (gt, err)  # measured 0.012-0.030 in interpret
 
+    # the coupled vector kernels share the machinery (C-grid: 18 bf16
+    # coefficient streams — the most stream-bound config in the repo)
+    gv_c = dict(wet_mask_t=ones, wet_mask_q=ones, dxT=m, dyT=m, dxCu=m,
+                dyCu=m, dxCv=m, dyCv=m, dxBu=m, dyBu=m, area_u=m * m,
+                area_v=m * m, kappa_iso=ones, kappa_aniso=ones)
+    vfilt = Filter(filter_scale=10.0, dx_min=1.0,
+                   grid_type=GridType.VECTOR_C_GRID, grid_vars=gv_c,
+                   use_pallas=True)
+    vfn = vfilt._vector_fn()
+    u, v = rng.random((ny, nx)), rng.random((ny, nx))
+    fu, fv = vfn(jnp.asarray(u, jnp.bfloat16), jnp.asarray(v, jnp.bfloat16))
+    assert fu.dtype == jnp.bfloat16
+    assert vfn.shape_cache.get((ny, nx, "bfloat16")) != "xla"
+    wu, wv = vfilt.apply_to_vector(u.astype(np.float32),
+                                   v.astype(np.float32))
+    wu, wv = np.asarray(wu), np.asarray(wv)
+    scale = max(np.max(np.abs(wu)), np.max(np.abs(wv)))
+    err = max(np.max(np.abs(np.asarray(fu, np.float64) - wu)),
+              np.max(np.abs(np.asarray(fv, np.float64) - wv))) / scale
+    assert err < 0.06, err  # measured 0.023 in interpret
+
 
 def test_mosaic_error_counts_as_compile_failure():
     from gcm_filters_tpu.ops.pallas.dispatch import COMPILE_ERRORS
