@@ -1149,8 +1149,13 @@ def build_ring_pass(
     """
     assert stencil.pre is None or not drop_pre
     br, halo = plan.br, plan.halo
-    assert n_ops <= halo <= br and ly % br == 0 and ly // br >= 2
-    assert halo % 8 == 0 and br % 8 == 0 and ring_size >= 2
+    # Eligibility is re-derived here rather than trusted from the caller:
+    # an ineligible config returns None (-> round-based fallback), never a
+    # crash or a kernel with wrong window data (CLAUDE.md fallback
+    # invariant; review finding r3 on the assert/fallback mismatch).
+    if not (n_ops <= halo <= br and ly % br == 0 and ly // br >= 2
+            and halo % 8 == 0 and br % 8 == 0 and ring_size >= 2):
+        return None
 
     coef_names = tuple(_coef_arrays(stencil))
     fold = stencil.fold_north
@@ -1176,7 +1181,8 @@ def build_ring_pass(
         ring_axis=ring_axis,
         ring_size=ring_size,
     )
-    assert _dma_on(cfg), "ring pass built for a DMA-ineligible config"
+    if not _dma_on(cfg):  # ring REQUIRES manual-DMA windows
+        return None
     grid_call = _build_pass_call(cfg)
 
     def pass_fn(p_chunk, coef_exts, *fields_and_acc):

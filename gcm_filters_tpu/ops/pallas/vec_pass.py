@@ -293,8 +293,11 @@ def _build_coupled_pass(
         and npdt.itemsize in (2, 4)
         and (not ext_x or (nx >= hl and nx >= wr))
     )
-    if ring:
-        assert dma and nb >= 2 and ring_size >= 2
+    if ring and not (dma and nb >= 2 and ring_size >= 2):
+        # ineligible ring config: callers fall back to the round-based
+        # engine (never a crash / wrong-window kernel; see cheb_pass
+        # build_ring_pass)
+        return None
 
     def pblk(j):
         """Block id at grid position ``j``: ring mode processes the two

@@ -162,6 +162,8 @@ def make_ring_scalar_apply(
                 ring_axis=yax, ring_size=p_y,
                 drop_pre=drop_pre, land_gain=land_gain,
             )
+            if fn is None:  # builder re-derived eligibility and declined
+                return None
             n_p = n_ops + 1 if first else n_ops
             pass_fns.append((fn, off, n_p, first, last))
             off += n_p
@@ -290,6 +292,8 @@ def make_ring_vector_apply(
             fn = build(ly, nx, dtype, plan, n_ops, first, last,
                        zap=operator.zap_nans,
                        ring_axis=yax, ring_size=p_y)
+            if fn is None:  # builder re-derived eligibility and declined
+                return None
             n_p = n_ops + 1 if first else n_ops
             pass_fns.append((fn, off, n_p, first, last))
             off += n_p

@@ -185,9 +185,14 @@ def _plan_local_pallas(ly, lx, n_steps, n_coef, has_post, itemsize, halo_steps):
         cells = max(steps)
         hm = _halo_mult()
         halo = -(-cells // hm) * hm  # aligned window height
-        cols_e = lx + 2 * cells
+        # budget at the width the kernel actually runs at: the zero-padded
+        # lane-aligned width (review finding r3: budgeting at the unpadded
+        # cols_e overestimated budget_rows ~1.8x on narrow shards and could
+        # pick a br whose real footprint exceeds vmem_limit_bytes on chip)
+        from ..ops.pallas.cheb_pass import _lane_width
+        cols_p = _lane_width(lx + 2 * cells, 0)
         rows_e = ly + 2 * cells
-        budget_rows = _VMEM_BUDGET_WIDE // (cols_e * itemsize)
+        budget_rows = _VMEM_BUDGET_WIDE // (cols_p * itemsize)
         cands = []
         cand = max(8, 8 * ((halo + 7) // 8))  # kernel needs halo <= br
         cap = min(512, 8 * ((rows_e + 7) // 8))
@@ -682,6 +687,7 @@ def _plan_local_coupled(ly, lx, n_steps, n_ext, itemsize, halo_steps,
     Uses the wide VMEM budget (the coupled pass builders lift Mosaic's
     scoped-vmem cap, ops/pallas/vec_pass.py) and aims br at the operator's
     measured sweet spot instead of growing it to the cap."""
+    from ..ops.pallas.cheb_pass import _halo_mult
     from ..ops.pallas.vec_pass import (
         _BR_MAX,
         _BR_TARGET_CTAP,
@@ -696,7 +702,11 @@ def _plan_local_coupled(ly, lx, n_steps, n_ext, itemsize, halo_steps,
     for k in range(k_max, 0, -1):
         steps = _balanced(n_steps, k)
         cells = max(steps)
-        halo = -(-cells // 4) * 4
+        # align like the scalar local planner: the DMA-window gate needs
+        # halo % 8 == 0 when _DMA_WINDOWS is on (review finding r3: a
+        # 4-aligned halo silently failed the gate and A/B'd the wrong path)
+        hm = _halo_mult(itemsize)
+        halo = -(-cells // hm) * hm
         from ..ops.pallas.cheb_pass import _lane_width
         cols_p = _lane_width(lx + 2 * cells, 0)  # zero-padded kernel width
         rows_e = ly + 2 * cells

@@ -444,6 +444,7 @@ def test_pallas_dma_window_path_exact(monkeypatch):
     m = np.ones((ny, nx))
     wet = m.copy(); wet[:2] = 0
     wet_fold = m.copy(); wet_fold[0] = 0
+    wf100 = np.ones((96, 100)); wf100[0] = 0
     cases = [
         (GridType.REGULAR, {}, None, (ny, nx)),
         (GridType.REGULAR, {}, 37, (ny, nx)),            # multi-pass
@@ -453,6 +454,11 @@ def test_pallas_dma_window_path_exact(monkeypatch):
               kappa_w=m, kappa_s=m), None, (ny, nx)),
         (GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
          {"area": m, "wet_mask": wet_fold}, None, (ny, nx)),
+        # fold + lane extension composed: the seam mirror must land in the
+        # DMA scratch at the ext_x lane offset BEFORE the periodic strips
+        # are filled (review finding r3: this branch was never executed)
+        (GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+         {"area": np.ones((96, 100)), "wet_mask": wf100}, None, (96, 100)),
         # odd ny: the pad-to-block LOCAL rounds path under DMA windows
         (GridType.REGULAR, {}, None, (126, 130)),
         # exact_nan streams the per-step pre-mask alongside the DMA'd field

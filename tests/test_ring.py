@@ -76,18 +76,29 @@ def test_ring_matches_unsharded_pallas_bitwise(monkeypatch, p_y):
 
 def test_ring_odd_width_lane_extension(monkeypatch):
     """nx=250: the kernel's in-window lane wrap (ext_x) composes with the
-    ring row exchange."""
+    ring row exchange — plain periodic AND with the tripolar fold seam
+    (the mirror insertion into the DMA scratch at the ext_x lane offset,
+    exercised only by the fold+odd-nx combination)."""
     ny, nx = 768, 250
     rng = np.random.default_rng(6)
     count = _remote_spy(monkeypatch)
-    filt = Filter(filter_scale=6.0, dx_min=1.0, use_pallas=False)
-    rf = ring_mod.make_ring_scalar_apply(
-        filt.operator, filt.filter_spec, _ymesh(8), ("y", "x"))
-    data = jnp.asarray(rng.random((ny, nx)), dtype=jnp.float32)
-    got = rf(data)
-    assert got is not None and count
-    want = make_pallas_scalar_apply(filt.operator, filt.filter_spec)(data)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    wet = np.ones((ny, nx)); wet[0] = 0
+    cases = [
+        (GridType.REGULAR, {}),
+        (GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+         {"area": 0.9 + 0.2 * rng.random((ny, nx)), "wet_mask": wet}),
+    ]
+    for gt, gv in cases:
+        filt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=gt,
+                      grid_vars=gv, use_pallas=False)
+        rf = ring_mod.make_ring_scalar_apply(
+            filt.operator, filt.filter_spec, _ymesh(8), ("y", "x"))
+        data = jnp.asarray(rng.random((ny, nx)), dtype=jnp.float32)
+        got = rf(data)
+        assert got is not None and count, gt
+        want = make_pallas_scalar_apply(filt.operator, filt.filter_spec)(data)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=str(gt))
 
 
 def test_ring_via_filter_with_fallbacks(monkeypatch):
