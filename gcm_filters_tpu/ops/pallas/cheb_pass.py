@@ -107,19 +107,30 @@ def p_dtype(dtype):
     return jnp.float32 if np.dtype(dtype).itemsize < 4 else dtype
 
 
-def _dma_on(cfg: "_PassConfig") -> bool:
-    on = _DMA_WINDOWS or cfg.ring_axis is not None  # ring REQUIRES manual DMA
-    wx = cfg.wx or cfg.nx
-    wr = wx - cfg.nx - cfg.xhl
-    itemsize = np.dtype(cfg.dtype).itemsize
+def dma_window_eligible(br, halo, nb, itemsize, nx, wx, xhl,
+                        force=False) -> bool:
+    """Whether a pass config can take the manual-DMA window path: the
+    single eligibility predicate for both kernel families (scalar and
+    coupled) — tile-aligned rows (HBM slice constraint), >=2 blocks,
+    2- or 4-byte elements, and lane strips coverable from real columns.
+    ``force`` = ring mode, which REQUIRES manual DMA."""
+    wr = wx - nx - xhl
     tile = _sublane_tile(itemsize)
     return (
-        on
-        and cfg.halo % tile == 0
-        and cfg.br % tile == 0
-        and cfg.nb >= 2
+        (_DMA_WINDOWS or force)
+        and halo % tile == 0
+        and br % tile == 0
+        and nb >= 2
         and itemsize in (2, 4)
-        and (wx == cfg.nx or (cfg.nx >= cfg.xhl and cfg.nx >= wr))
+        and (wx == nx or (nx >= xhl and nx >= wr))
+    )
+
+
+def _dma_on(cfg: "_PassConfig") -> bool:
+    return dma_window_eligible(
+        cfg.br, cfg.halo, cfg.nb, np.dtype(cfg.dtype).itemsize,
+        cfg.nx, cfg.wx or cfg.nx, cfg.xhl,
+        force=cfg.ring_axis is not None,
     )
 
 
@@ -345,6 +356,199 @@ def _mirror_chunk(x: jax.Array, halo: int, rows_m: int) -> jax.Array:
     return m
 
 
+def _pblk(ring: bool, nb: int, j):
+    """Block id at grid position ``j``: ring mode processes the two
+    shard-edge blocks LAST so their remote halos arrive while the interior
+    blocks compute (the overlap). Used both inside the kernels and as the
+    index-map counterpart for blocked inputs/outputs."""
+    if not ring or nb <= 2:
+        return j
+    return jnp.where(j < nb - 2, j + 1,
+                     jnp.where(j == nb - 2, 0, nb - 1))
+
+
+class _WindowStreamer:
+    """Manual-DMA window streaming shared by the scalar and coupled kernels.
+
+    Owns the double-buffered HBM->VMEM window segments (periodic wrap, or
+    ring-mode assembly from remote-filled halo buffers), the block-(i+1)
+    prefetch schedule, and the ring remote-copy descriptors with their
+    entry barrier and exit send-drain. The scalar kernel streams (ny, nx)
+    fields (``lead=0``); the coupled kernel streams (2, ny, nx) stacked
+    pairs (``lead=1``) — the row/lane geometry is identical, the stacked
+    axis rides through leading full slices.
+    """
+
+    def __init__(self, *, lead, n_fields, ny, nx, br, halo, nb, win, ext_x,
+                 hl, ring, ring_axis, ring_size, interp, f_hbm, sbufs, sem,
+                 hs_bufs=None, hn_bufs=None, rsem=None, ssem=None):
+        self.lead, self.n_fields = lead, n_fields
+        self.ny, self.nx, self.br, self.halo = ny, nx, br, halo
+        self.nb, self.win, self.ext_x, self.hl = nb, win, ext_x, hl
+        self.ring, self.ring_size, self.interp = ring, ring_size, interp
+        self.f_hbm, self.sbufs, self.sem = f_hbm, sbufs, sem
+        self.hs_bufs, self.hn_bufs = hs_bufs, hn_bufs
+        self.rsem, self.ssem = rsem, ssem
+        self.pre = (slice(None),) * lead
+        if ring:
+            psize = np.int32(ring_size)  # match axis_index (x64-safe)
+            self.my = jax.lax.axis_index(ring_axis)
+            self.up_dev = jax.lax.rem(self.my + np.int32(1), psize)
+            self.dn_dev = jax.lax.rem(self.my + psize - np.int32(1), psize)
+
+    def pblk(self, j):
+        return _pblk(self.ring, self.nb, j)
+
+    def rem_desc(self, fi, up):
+        """SPMD ring-copy descriptor for field ``fi``: ``up`` sends my top
+        ``halo`` rows to the up-neighbor's south buffer (so my own hs
+        receives from my down-neighbor running the same descriptor);
+        ``not up`` sends my bottom rows to the down-neighbor's north
+        buffer."""
+        ny, halo, pre = self.ny, self.halo, self.pre
+        if up:
+            return pltpu.make_async_remote_copy(
+                src_ref=self.f_hbm[fi].at[
+                    (*pre, pl.ds(ny - halo, halo), slice(None))],
+                dst_ref=self.hs_bufs[fi],
+                send_sem=self.ssem.at[fi, 0], recv_sem=self.rsem.at[fi, 0],
+                device_id=self.up_dev,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+        return pltpu.make_async_remote_copy(
+            src_ref=self.f_hbm[fi].at[(*pre, pl.ds(0, halo), slice(None))],
+            dst_ref=self.hn_bufs[fi],
+            send_sem=self.ssem.at[fi, 1], recv_sem=self.rsem.at[fi, 1],
+            device_id=self.dn_dev,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def prologue(self, i):
+        """Per-grid-step I/O schedule: ring sends at entry (overlapping the
+        interior blocks), send-drain at exit, block-0 load + block-(i+1)
+        prefetch, and the wait for block i's own window."""
+        nb = self.nb
+        if self.ring:
+            @pl.when(i == 0)
+            def _():
+                if not self.interp:
+                    # All ring participants must have entered this pass
+                    # before any remote write lands (buffer-liveness across
+                    # chained invocations); interpret-mode discharge is
+                    # synchronous and needs no barrier.
+                    bsem = pltpu.get_barrier_semaphore()
+                    pltpu.semaphore_signal(
+                        bsem, 1, device_id=self.up_dev,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL)
+                    pltpu.semaphore_signal(
+                        bsem, 1, device_id=self.dn_dev,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL)
+                    pltpu.semaphore_wait(bsem, 2)
+                for fi in range(self.n_fields):
+                    self.rem_desc(fi, True).start()
+                    self.rem_desc(fi, False).start()
+
+            @pl.when(i == nb - 1)
+            def _():
+                for fi in range(self.n_fields):
+                    self.rem_desc(fi, True).wait_send()
+                    self.rem_desc(fi, False).wait_send()
+
+        @pl.when(i == 0)
+        def _():
+            self.window_io(0, 0, "start")
+
+        @pl.when(i + 1 < nb)
+        def _():
+            self.window_io((i + 1) % 2, i + 1, "start")
+
+        self.window_io(i % 2, i, "wait")
+
+    def _seg(self, fi, slot, src, d0, n, sidx):
+        buf, pre = self.sbufs[fi], self.pre
+        dst = (buf.at[(slot, *pre, pl.ds(d0, n), pl.ds(self.hl, self.nx))]
+               if self.ext_x
+               else buf.at[(slot, *pre, pl.ds(d0, n), slice(None))])
+        return pltpu.make_async_copy(src, dst, self.sem.at[fi, slot, sidx])
+
+    def _hbm(self, fi, s0, n):
+        if not isinstance(s0, int):
+            s0 = pl.multiple_of(s0, 8)
+        return self.f_hbm[fi].at[(*self.pre, pl.ds(s0, n), slice(None))]
+
+    def _window_copies(self, fi, slot, j, top):
+        """The async-copy descriptors loading field ``fi``'s block-j window
+        — rows [j*br - halo, (j+1)*br + halo) with periodic wrap — into
+        sbufs[fi][slot] at lane offset hl. ``top=False`` covers every j
+        whose wrap (if any) is at the south edge; ``top=True`` is the last
+        block (north wrap). Offsets/counts are sublane-tile aligned (br,
+        halo), as HBM slices demand. Built per-branch: an unconsumed
+        descriptor is an error in interpret mode."""
+        ny, br, halo = self.ny, self.br, self.halo
+        seg = lambda s0, n, d0, sidx: self._seg(
+            fi, slot, self._hbm(fi, s0, n), d0, n, sidx)
+        if top:
+            return [seg(ny - br - halo, br + halo, 0, 0),
+                    seg(0, halo, br + halo, 1)]
+        return [seg((j * br - halo) % ny, halo, 0, 0),
+                seg(j * br, br + halo, halo, 1)]
+
+    def _ring_copies(self, fi, slot, jb, kind):
+        """Ring-mode window segments for block ``jb``: interior blocks
+        stream one contiguous core slice; the south/north edge blocks take
+        their outer ``halo`` rows from the remote-filled hs/hn buffers
+        instead of a periodic wrap."""
+        ny, br, halo, pre = self.ny, self.br, self.halo, self.pre
+        seg = lambda src, d0, n, sidx: self._seg(fi, slot, src, d0, n, sidx)
+        full = (*pre, slice(None), slice(None))
+        if kind == "south":  # jb == 0
+            return [seg(self.hs_bufs[fi].at[full], 0, halo, 0),
+                    seg(self._hbm(fi, 0, br + halo), halo, br + halo, 1)]
+        if kind == "north":  # jb == nb - 1
+            return [seg(self._hbm(fi, ny - br - halo, br + halo), 0,
+                        br + halo, 0),
+                    seg(self.hn_bufs[fi].at[full], br + halo, halo, 1)]
+        return [seg(self._hbm(fi, jb * br - halo, self.win), 0, self.win, 0)]
+
+    def window_io(self, slot, j, op):
+        # Descriptors are built inside their branch: an unconsumed
+        # descriptor is an error in interpret mode.
+        nb = self.nb
+        if self.ring:
+            jb = self.pblk(j)
+            for fi in range(self.n_fields):
+                @pl.when(jb == 0)
+                def _():
+                    if op == "start":
+                        # halo must have landed before reading it back
+                        self.rem_desc(fi, True).wait_recv()
+                    for d in self._ring_copies(fi, slot, jb, "south"):
+                        getattr(d, op)()
+
+                @pl.when(jb == nb - 1)
+                def _():
+                    if op == "start":
+                        self.rem_desc(fi, False).wait_recv()
+                    for d in self._ring_copies(fi, slot, jb, "north"):
+                        getattr(d, op)()
+
+                @pl.when((jb != 0) & (jb != nb - 1))
+                def _():
+                    for d in self._ring_copies(fi, slot, jb, "mid"):
+                        getattr(d, op)()
+            return
+        for fi in range(self.n_fields):
+            @pl.when(j != nb - 1)
+            def _():
+                for d in self._window_copies(fi, slot, j, top=False):
+                    getattr(d, op)()
+
+            @pl.when(j == nb - 1)
+            def _():
+                for d in self._window_copies(fi, slot, j, top=True):
+                    getattr(d, op)()
+
+
 @dataclasses.dataclass(frozen=True)
 class _PassConfig:
     """Static description of one fused pass kernel.
@@ -456,15 +660,6 @@ def _build_pass_call(cfg: _PassConfig):
     if ring:
         assert dma and nb >= 2 and cfg.ring_size >= 2
 
-    def pblk(j):
-        """Block id at grid position ``j``: ring mode processes the two
-        shard-edge blocks LAST so their remote halos arrive while the
-        interior blocks compute (the overlap)."""
-        if not ring or nb <= 2:
-            return j
-        return jnp.where(j < nb - 2, j + 1,
-                         jnp.where(j == nb - 2, 0, nb - 1))
-
     def kernel(p_ref, *refs):
         refs = list(refs)
         if dma:
@@ -501,156 +696,16 @@ def _build_pass_call(cfg: _PassConfig):
 
         i = pl.program_id(0)
 
-        if ring:
-            psize = np.int32(cfg.ring_size)  # match axis_index (x64-safe)
-            my = jax.lax.axis_index(cfg.ring_axis)
-            up_dev = jax.lax.rem(my + np.int32(1), psize)
-            dn_dev = jax.lax.rem(my + psize - np.int32(1), psize)
-
-            def rem_desc(fi, up):
-                """SPMD ring-copy descriptor for field ``fi``: ``up`` sends
-                my top ``halo`` rows to the up-neighbor's south buffer (so
-                my own hs receives from my down-neighbor running the same
-                descriptor); ``not up`` sends my bottom rows to the
-                down-neighbor's north buffer."""
-                if up:
-                    return pltpu.make_async_remote_copy(
-                        src_ref=f_hbm[fi].at[pl.ds(ny - halo, halo), :],
-                        dst_ref=hs_bufs[fi],
-                        send_sem=ssem.at[fi, 0], recv_sem=rsem.at[fi, 0],
-                        device_id=up_dev,
-                        device_id_type=pltpu.DeviceIdType.LOGICAL,
-                    )
-                return pltpu.make_async_remote_copy(
-                    src_ref=f_hbm[fi].at[pl.ds(0, halo), :],
-                    dst_ref=hn_bufs[fi],
-                    send_sem=ssem.at[fi, 1], recv_sem=rsem.at[fi, 1],
-                    device_id=dn_dev,
-                    device_id_type=pltpu.DeviceIdType.LOGICAL,
-                )
-
-            @pl.when(i == 0)
-            def _():
-                if not interp:
-                    # All ring participants must have entered this pass
-                    # before any remote write lands (buffer-liveness across
-                    # chained invocations); interpret-mode discharge is
-                    # synchronous and needs no barrier.
-                    bsem = pltpu.get_barrier_semaphore()
-                    pltpu.semaphore_signal(
-                        bsem, 1, device_id=up_dev,
-                        device_id_type=pltpu.DeviceIdType.LOGICAL)
-                    pltpu.semaphore_signal(
-                        bsem, 1, device_id=dn_dev,
-                        device_id_type=pltpu.DeviceIdType.LOGICAL)
-                    pltpu.semaphore_wait(bsem, 2)
-                for fi in range(cfg.n_fields):
-                    rem_desc(fi, True).start()
-                    rem_desc(fi, False).start()
-
-            @pl.when(i == nb - 1)
-            def _():
-                for fi in range(cfg.n_fields):
-                    rem_desc(fi, True).wait_send()
-                    rem_desc(fi, False).wait_send()
-
-        def _window_copies(fi, slot, j, top):
-            """The async-copy descriptors loading field ``fi``'s block-j
-            window — rows [j*br - halo, (j+1)*br + halo) with periodic
-            wrap — into sbufs[fi][slot] at lane offset hl. ``top=False``
-            covers every j whose wrap (if any) is at the south edge;
-            ``top=True`` is the last block (north wrap). Offsets/counts
-            are 8-row aligned (br, halo multiples of 8), as HBM slices
-            demand. Built per-branch: an unconsumed descriptor is an
-            error in interpret mode."""
-            buf = sbufs[fi]
-
-            def seg(s0, n, d0, sidx):
-                if not isinstance(s0, int):
-                    s0 = pl.multiple_of(s0, 8)
-                dst = (buf.at[slot, pl.ds(d0, n), pl.ds(hl, nx)]
-                       if ext_x else buf.at[slot, pl.ds(d0, n), :])
-                return pltpu.make_async_copy(
-                    f_hbm[fi].at[pl.ds(s0, n), :], dst, sem.at[fi, slot, sidx]
-                )
-
-            if top:
-                return [seg(ny - br - halo, br + halo, 0, 0),
-                        seg(0, halo, br + halo, 1)]
-            return [seg((j * br - halo) % ny, halo, 0, 0),
-                    seg(j * br, br + halo, halo, 1)]
-
-        def _ring_copies(fi, slot, jb, kind):
-            """Ring-mode window segments for block ``jb``: interior blocks
-            stream one contiguous core slice; the south/north edge blocks
-            take their outer ``halo`` rows from the remote-filled hs/hn
-            buffers instead of a periodic wrap."""
-            buf = sbufs[fi]
-
-            def seg(src, d0, n, sidx):
-                dst = (buf.at[slot, pl.ds(d0, n), pl.ds(hl, nx)]
-                       if ext_x else buf.at[slot, pl.ds(d0, n), :])
-                return pltpu.make_async_copy(src, dst, sem.at[fi, slot, sidx])
-
-            core = f_hbm[fi]
-            if kind == "south":  # jb == 0
-                return [seg(hs_bufs[fi].at[:, :], 0, halo, 0),
-                        seg(core.at[pl.ds(0, br + halo), :], halo,
-                            br + halo, 1)]
-            if kind == "north":  # jb == nb - 1
-                return [seg(core.at[pl.ds(ny - br - halo, br + halo), :], 0,
-                            br + halo, 0),
-                        seg(hn_bufs[fi].at[:, :], br + halo, halo, 1)]
-            s0 = pl.multiple_of(jb * br - halo, 8)
-            return [seg(core.at[pl.ds(s0, win), :], 0, win, 0)]
-
-        def _window_io(slot, j, op):
-            # Descriptors are built inside their branch: an unconsumed
-            # descriptor is an error in interpret mode.
-            if ring:
-                jb = pblk(j)
-                for fi in range(cfg.n_fields):
-                    @pl.when(jb == 0)
-                    def _():
-                        if op == "start":
-                            # halo must have landed before reading it back
-                            rem_desc(fi, True).wait_recv()
-                        for d in _ring_copies(fi, slot, jb, "south"):
-                            getattr(d, op)()
-
-                    @pl.when(jb == nb - 1)
-                    def _():
-                        if op == "start":
-                            rem_desc(fi, False).wait_recv()
-                        for d in _ring_copies(fi, slot, jb, "north"):
-                            getattr(d, op)()
-
-                    @pl.when((jb != 0) & (jb != nb - 1))
-                    def _():
-                        for d in _ring_copies(fi, slot, jb, "mid"):
-                            getattr(d, op)()
-                return
-            for fi in range(cfg.n_fields):
-                @pl.when(j != nb - 1)
-                def _():
-                    for d in _window_copies(fi, slot, j, top=False):
-                        getattr(d, op)()
-
-                @pl.when(j == nb - 1)
-                def _():
-                    for d in _window_copies(fi, slot, j, top=True):
-                        getattr(d, op)()
-
         if dma:
-            @pl.when(i == 0)
-            def _():
-                _window_io(0, 0, "start")
-
-            @pl.when(i + 1 < nb)
-            def _():
-                _window_io((i + 1) % 2, i + 1, "start")
-
-            _window_io(i % 2, i, "wait")
+            ws = _WindowStreamer(
+                lead=0, n_fields=cfg.n_fields, ny=ny, nx=nx, br=br,
+                halo=halo, nb=nb, win=win, ext_x=ext_x, hl=hl, ring=ring,
+                ring_axis=cfg.ring_axis, ring_size=cfg.ring_size,
+                interp=interp, f_hbm=f_hbm, sbufs=sbufs, sem=sem,
+                hs_bufs=hs_bufs if ring else None,
+                hn_bufs=hn_bufs if ring else None,
+                rsem=rsem if ring else None, ssem=ssem if ring else None)
+            ws.prologue(i)
 
         def dma_window(fi, mirror_ref):
             """Finish assembling field ``fi``'s window in its DMA scratch:
@@ -663,7 +718,8 @@ def _build_pass_call(cfg: _PassConfig):
             if fold:
                 # ring mode: only the TOP shard's top block is the seam;
                 # other shards' last blocks use the real north halo
-                is_seam = ((pblk(i) == nb - 1) & (my == cfg.ring_size - 1)
+                is_seam = ((ws.pblk(i) == nb - 1)
+                           & (ws.my == cfg.ring_size - 1)
                            if ring else i == nb - 1)
 
                 @pl.when(is_seam)
@@ -807,11 +863,8 @@ def _build_pass_call(cfg: _PassConfig):
         acc_out[...] = xslice(acc).astype(cfg.dtype)
 
     def _pblk_map(j):
-        # index-map counterpart of the kernel-side pblk() reorder
-        if not ring or nb <= 2:
-            return j
-        return jnp.where(j < nb - 2, j + 1,
-                         jnp.where(j == nb - 2, 0, nb - 1))
+        # index-map counterpart of the kernel-side block reorder
+        return _pblk(ring, nb, j)
 
     def blk(index_map=None):
         if index_map is None:

@@ -284,29 +284,13 @@ def _build_coupled_pass(
     # views defeat Mosaic's input pipelining; stream each stacked field
     # once from an ANY(HBM) ref into a double-buffered VMEM scratch with
     # the block-(i+1) prefetch issued before block i's compute.
-    tile = _cp._sublane_tile(npdt.itemsize)
-    dma = (
-        (_cp._DMA_WINDOWS or ring)  # ring REQUIRES manual DMA
-        and halo % tile == 0
-        and br % tile == 0
-        and nb >= 2
-        and npdt.itemsize in (2, 4)
-        and (not ext_x or (nx >= hl and nx >= wr))
-    )
+    dma = _cp.dma_window_eligible(
+        br, halo, nb, npdt.itemsize, nx, wx, hl, force=ring)
     if ring and not (dma and nb >= 2 and ring_size >= 2):
         # ineligible ring config: callers fall back to the round-based
         # engine (never a crash / wrong-window kernel; see cheb_pass
         # build_ring_pass)
         return None
-
-    def pblk(j):
-        """Block id at grid position ``j``: ring mode processes the two
-        shard-edge blocks LAST so their remote halos arrive while the
-        interior blocks compute (the overlap)."""
-        if not ring or nb <= 2:
-            return j
-        return jnp.where(j < nb - 2, j + 1,
-                         jnp.where(j == nb - 2, 0, nb - 1))
 
     def xslice(a):
         # hl is a vreg multiple, so this is a pure vreg-to-vreg copy
@@ -343,155 +327,17 @@ def _build_coupled_pass(
 
         i = pl.program_id(0)
 
-        if ring:
-            psize = np.int32(ring_size)  # match axis_index (x64-safe)
-            my = jax.lax.axis_index(ring_axis)
-            up_dev = jax.lax.rem(my + np.int32(1), psize)
-            dn_dev = jax.lax.rem(my + psize - np.int32(1), psize)
-
-            def rem_desc(fi, up):
-                """SPMD ring-copy descriptor for stacked field ``fi``:
-                ``up`` sends my top ``halo`` rows to the up-neighbor's south
-                buffer (so my own hs receives from my down-neighbor running
-                the same descriptor); ``not up`` sends my bottom rows to the
-                down-neighbor's north buffer."""
-                if up:
-                    return pltpu.make_async_remote_copy(
-                        src_ref=f_hbm[fi].at[:, pl.ds(ny - halo, halo), :],
-                        dst_ref=hs_bufs[fi],
-                        send_sem=ssem.at[fi, 0], recv_sem=rsem.at[fi, 0],
-                        device_id=up_dev,
-                        device_id_type=pltpu.DeviceIdType.LOGICAL,
-                    )
-                return pltpu.make_async_remote_copy(
-                    src_ref=f_hbm[fi].at[:, pl.ds(0, halo), :],
-                    dst_ref=hn_bufs[fi],
-                    send_sem=ssem.at[fi, 1], recv_sem=rsem.at[fi, 1],
-                    device_id=dn_dev,
-                    device_id_type=pltpu.DeviceIdType.LOGICAL,
-                )
-
-            @pl.when(i == 0)
-            def _():
-                if not interp:
-                    # All ring participants must have entered this pass
-                    # before any remote write lands (buffer-liveness across
-                    # chained invocations); interpret-mode discharge is
-                    # synchronous and needs no barrier.
-                    bsem = pltpu.get_barrier_semaphore()
-                    pltpu.semaphore_signal(
-                        bsem, 1, device_id=up_dev,
-                        device_id_type=pltpu.DeviceIdType.LOGICAL)
-                    pltpu.semaphore_signal(
-                        bsem, 1, device_id=dn_dev,
-                        device_id_type=pltpu.DeviceIdType.LOGICAL)
-                    pltpu.semaphore_wait(bsem, 2)
-                for fi in range(n_fields):
-                    rem_desc(fi, True).start()
-                    rem_desc(fi, False).start()
-
-            @pl.when(i == nb - 1)
-            def _():
-                for fi in range(n_fields):
-                    rem_desc(fi, True).wait_send()
-                    rem_desc(fi, False).wait_send()
-
-        def _window_copies(fi, slot, j, top):
-            """Async-copy descriptors loading stacked field ``fi``'s block-j
-            window — rows [j*br - halo, (j+1)*br + halo) with periodic
-            wrap — into sbufs[fi][slot] at lane offset hl. ``top=False``
-            covers every j whose wrap (if any) is at the south edge;
-            ``top=True`` is the last block (north wrap). Built per-branch:
-            an unconsumed descriptor is an error in interpret mode."""
-            buf = sbufs[fi]
-
-            def seg(s0, n, d0, sidx):
-                if not isinstance(s0, int):
-                    s0 = pl.multiple_of(s0, 8)
-                dst = (buf.at[slot, :, pl.ds(d0, n), pl.ds(hl, nx)]
-                       if ext_x else buf.at[slot, :, pl.ds(d0, n), :])
-                return pltpu.make_async_copy(
-                    f_hbm[fi].at[:, pl.ds(s0, n), :], dst,
-                    sem.at[fi, slot, sidx]
-                )
-
-            if top:
-                return [seg(ny - br - halo, br + halo, 0, 0),
-                        seg(0, halo, br + halo, 1)]
-            return [seg((j * br - halo) % ny, halo, 0, 0),
-                    seg(j * br, br + halo, halo, 1)]
-
-        def _ring_copies(fi, slot, jb, kind):
-            """Ring-mode window segments for block ``jb``: interior blocks
-            stream one contiguous core slice; the south/north edge blocks
-            take their outer ``halo`` rows from the remote-filled hs/hn
-            buffers instead of a periodic wrap."""
-            buf = sbufs[fi]
-
-            def seg(src, d0, n, sidx):
-                dst = (buf.at[slot, :, pl.ds(d0, n), pl.ds(hl, nx)]
-                       if ext_x else buf.at[slot, :, pl.ds(d0, n), :])
-                return pltpu.make_async_copy(src, dst, sem.at[fi, slot, sidx])
-
-            core = f_hbm[fi]
-            if kind == "south":  # jb == 0
-                return [seg(hs_bufs[fi].at[:, :, :], 0, halo, 0),
-                        seg(core.at[:, pl.ds(0, br + halo), :], halo,
-                            br + halo, 1)]
-            if kind == "north":  # jb == nb - 1
-                return [seg(core.at[:, pl.ds(ny - br - halo, br + halo), :],
-                            0, br + halo, 0),
-                        seg(hn_bufs[fi].at[:, :, :], br + halo, halo, 1)]
-            s0 = pl.multiple_of(jb * br - halo, 8)
-            return [seg(core.at[:, pl.ds(s0, win), :], 0, win, 0)]
-
-        def _window_io(slot, j, op):
-            # Descriptors are built inside their branch: an unconsumed
-            # descriptor is an error in interpret mode.
-            if ring:
-                jb = pblk(j)
-                for fi in range(n_fields):
-                    @pl.when(jb == 0)
-                    def _():
-                        if op == "start":
-                            # halo must have landed before reading it back
-                            rem_desc(fi, True).wait_recv()
-                        for d in _ring_copies(fi, slot, jb, "south"):
-                            getattr(d, op)()
-
-                    @pl.when(jb == nb - 1)
-                    def _():
-                        if op == "start":
-                            rem_desc(fi, False).wait_recv()
-                        for d in _ring_copies(fi, slot, jb, "north"):
-                            getattr(d, op)()
-
-                    @pl.when((jb != 0) & (jb != nb - 1))
-                    def _():
-                        for d in _ring_copies(fi, slot, jb, "mid"):
-                            getattr(d, op)()
-                return
-            for fi in range(n_fields):
-                @pl.when(j != nb - 1)
-                def _():
-                    for d in _window_copies(fi, slot, j, top=False):
-                        getattr(d, op)()
-
-                @pl.when(j == nb - 1)
-                def _():
-                    for d in _window_copies(fi, slot, j, top=True):
-                        getattr(d, op)()
-
         if dma:
-            @pl.when(i == 0)
-            def _():
-                _window_io(0, 0, "start")
-
-            @pl.when(i + 1 < nb)
-            def _():
-                _window_io((i + 1) % 2, i + 1, "start")
-
-            _window_io(i % 2, i, "wait")
+            ws = _cp._WindowStreamer(
+                lead=1, n_fields=n_fields, ny=ny, nx=nx, br=br, halo=halo,
+                nb=nb, win=win, ext_x=ext_x, hl=hl, ring=ring,
+                ring_axis=ring_axis, ring_size=ring_size,
+                interp=jax.default_backend() != "tpu",
+                f_hbm=f_hbm, sbufs=sbufs, sem=sem,
+                hs_bufs=hs_bufs if ring else None,
+                hn_bufs=hn_bufs if ring else None,
+                rsem=rsem if ring else None, ssem=ssem if ring else None)
+            ws.prologue(i)
 
         def dma_window(fi):
             """Finish assembling stacked field ``fi``'s window in its DMA
@@ -574,11 +420,8 @@ def _build_coupled_pass(
         acc_out[...] = xslice(acc).astype(dtype)
 
     def _pblk_map(j):
-        # index-map counterpart of the kernel-side pblk() reorder
-        if not ring or nb <= 2:
-            return j
-        return jnp.where(j < nb - 2, j + 1,
-                         jnp.where(j == nb - 2, 0, nb - 1))
+        # index-map counterpart of the kernel-side block reorder
+        return _cp._pblk(ring, nb, j)
 
     def blk(index_map=None):
         if index_map is None:
