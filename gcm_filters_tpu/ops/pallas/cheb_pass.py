@@ -532,10 +532,15 @@ class _WindowStreamer:
                     for d in self._ring_copies(fi, slot, jb, "north"):
                         getattr(d, op)()
 
-                @pl.when((jb != 0) & (jb != nb - 1))
-                def _():
-                    for d in self._ring_copies(fi, slot, jb, "mid"):
-                        getattr(d, op)()
+                if nb > 2:
+                    # no mid blocks exist at nb == 2 — and tracing their
+                    # win-row HBM slice would fail outright when the
+                    # window is taller than the local rows (win > ly),
+                    # even though the branch never executes
+                    @pl.when((jb != 0) & (jb != nb - 1))
+                    def _():
+                        for d in self._ring_copies(fi, slot, jb, "mid"):
+                            getattr(d, op)()
             return
         for fi in range(self.n_fields):
             @pl.when(j != nb - 1)

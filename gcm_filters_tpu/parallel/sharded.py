@@ -658,6 +658,7 @@ def make_sharded_scalar_apply(
         return restore(_fallback_jitted()(st, arr))
 
     apply_fn._primary = _primary  # exposed for tests/fault injection
+    apply_fn._ring = _ring  # exposed for tests/fault injection
     apply_fn._pinned = _pinned
     apply_fn._pl_jit = _pl_jit  # exposed for tests (collective census)
     apply_fn._ext_cache = _ext_cache
@@ -1105,6 +1106,7 @@ def make_sharded_vector_apply(
         return restore(fu), restore(fv)
 
     apply_fn._primary = _primary  # exposed for tests/fault injection
+    apply_fn._ring = _ring  # exposed for tests/fault injection
     apply_fn._pinned = _pinned
     apply_fn._pl_jit = _pl_jit  # exposed for tests (collective census)
     apply_fn._ext_cache = _ext_cache

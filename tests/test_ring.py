@@ -101,6 +101,25 @@ def test_ring_odd_width_lane_extension(monkeypatch):
             np.asarray(got), np.asarray(want), err_msg=str(gt))
 
 
+def test_ring_two_blocks_per_shard_window_taller_than_shard(monkeypatch):
+    """ly=16 with win=24 > ly: exactly two blocks per shard and block
+    windows taller than the local rows. The phantom 'mid' branch used to
+    trace a win-row slice that cannot fit the local operand and crashed at
+    build time (review/telemetry finding); it must instead run — bitwise —
+    with only the south/north edge assemblies."""
+    ny, nx = 128, 128
+    rng = np.random.default_rng(13)
+    count = _remote_spy(monkeypatch)
+    filt = Filter(filter_scale=4.0, dx_min=1.0, use_pallas=False)
+    rf = ring_mod.make_ring_scalar_apply(
+        filt.operator, filt.filter_spec, _ymesh(8), ("y", "x"))
+    data = jnp.asarray(rng.random((ny, nx)), dtype=jnp.float32)
+    got = rf(data)
+    assert got is not None and count
+    want = make_pallas_scalar_apply(filt.operator, filt.filter_spec)(data)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_ring_via_filter_with_fallbacks(monkeypatch):
     """Filter.apply on a y-only mesh routes through the ring path for 2-D
     f32 fields and falls back (still correct) for batches, f64, and

@@ -104,3 +104,34 @@ def test_sharded_pin_warns_and_counts():
         _w.simplefilter("error", PerformanceWarning)
         out2 = np.asarray(fn(data))
     np.testing.assert_allclose(out2, ref, rtol=1e-12, atol=1e-14)
+
+
+def test_ring_pin_warns_and_counts():
+    """A compile failure in the ring halo-exchange kernel must pin only the
+    ring variant of the shape (warn + count) and fall back to the
+    round-based engine, whose result is still correct."""
+    from jax.sharding import Mesh
+
+    reset_fallback_counts()
+    mesh = Mesh(np.array(jax.devices()).reshape(8, 1), ("y", "x"))
+    filt = Filter(filter_scale=4.0, dx_min=1.0, mesh=mesh,
+                  spatial_axes=("y", "x"), use_pallas=True)
+    fn = filt._scalar_fn()
+    data = np.random.default_rng(3).random((128, 128)).astype(np.float32)
+    ref = np.asarray(fn(data))  # healthy run engages the ring path
+    assert fn._ring[0] is not None and fn._ring[0] is not False
+
+    fn._ring[0] = _raiser
+    with pytest.warns(PerformanceWarning, match="round-based"):
+        out = np.asarray(fn(data))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    assert fallback_counts().get("ring_pallas_compile_fallback", 0) == 1
+    assert ("ring", 16, 128, "float32") in fn._pinned
+
+    # subsequent calls skip the raiser silently (shape pinned to rounds)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", PerformanceWarning)
+        out2 = np.asarray(fn(data))
+    np.testing.assert_allclose(out2, ref, rtol=1e-5, atol=1e-6)
