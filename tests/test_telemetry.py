@@ -135,3 +135,33 @@ def test_ring_pin_warns_and_counts():
         _w.simplefilter("error", PerformanceWarning)
         out2 = np.asarray(fn(data))
     np.testing.assert_allclose(out2, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_vector_ring_pin_warns_and_counts():
+    """Vector twin of the ring pin test: a compile failure in the coupled
+    ring kernel pins only the ring variant and falls back to the
+    round-based vector engine."""
+    from jax.sharding import Mesh
+
+    reset_fallback_counts()
+    rng = np.random.default_rng(4)
+    m = 0.9 + 0.2 * rng.random((128, 128))
+    gv = dict(DXU=m, DYU=m, HUS=m, HUW=m, HTE=m, HTN=m,
+              UAREA=m * m, TAREA=m * m)
+    mesh = Mesh(np.array(jax.devices()).reshape(8, 1), ("y", "x"))
+    filt = Filter(filter_scale=4.0, dx_min=1.0,
+                  grid_type=GridType.VECTOR_B_GRID, grid_vars=gv,
+                  mesh=mesh, spatial_axes=("y", "x"), use_pallas=True)
+    fn = filt._vector_fn()
+    u = rng.random((128, 128)).astype(np.float32)
+    v = rng.random((128, 128)).astype(np.float32)
+    ru, rv = (np.asarray(a) for a in fn(u, v))
+    assert fn._ring[0] is not None and fn._ring[0] is not False
+
+    fn._ring[0] = _raiser
+    with pytest.warns(PerformanceWarning, match="round-based"):
+        ou, ov = (np.asarray(a) for a in fn(u, v))
+    np.testing.assert_allclose(ou, ru, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ov, rv, rtol=1e-5, atol=1e-5)
+    assert fallback_counts().get("ring_pallas_compile_fallback", 0) == 1
+    assert ("ring", 16, 128, "float32") in fn._pinned
