@@ -38,6 +38,7 @@ in masked h-space (see dispatch.py) so ``stencil.pre`` must be None here.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -89,7 +90,9 @@ _MIRROR_SWAP = {"c": "c", "n": "s", "s": "n", "e": "w", "w": "e"}
 # (filled post-wait by narrow VMEM copies from the already-loaded columns).
 # False until the on-chip A/B lands (interpret-mode exactness is tested
 # either way: tests force True); True = on where eligible.
-_DMA_WINDOWS: bool = False
+# GCM_FILTERS_TPU_DMA_WINDOWS=1 overrides from the environment (on-chip
+# A/B and verify_tpu gating without code edits).
+_DMA_WINDOWS: bool = os.environ.get("GCM_FILTERS_TPU_DMA_WINDOWS", "") == "1"
 
 
 def _sublane_tile(itemsize: int) -> int:

@@ -31,6 +31,7 @@ shape/config is unsupported (non-8-divisible rows, non-binary masks, ...).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -75,8 +76,9 @@ COMPILE_ERRORS = _compile_failure_errors()
 # Default OFF: bf16 streams round coefficients to ~2^-8, far outside the
 # float32 parity tolerance — this is a measured-throughput experiment and
 # an opt-in fast mode, never a silent promotion. Flip via
-# gcm_filters_tpu.ops.pallas.dispatch._NARROW_BF16 = True.
-_NARROW_BF16: bool = False
+# gcm_filters_tpu.ops.pallas.dispatch._NARROW_BF16 = True, or
+# GCM_FILTERS_TPU_BF16=1 in the environment.
+_NARROW_BF16: bool = os.environ.get("GCM_FILTERS_TPU_BF16", "") == "1"
 
 
 def _pallas_dtype_ok(dtype) -> bool:

@@ -41,6 +41,7 @@ TPU until validated on a pod.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -64,8 +65,10 @@ from ..ops.pallas.cheb_pass import (
 )
 
 # Tri-state switch: None = auto (on for interpret backends, off on real TPU
-# until pod-validated), True/False = forced.
-_RING: Optional[bool] = None
+# until pod-validated), True/False = forced. GCM_FILTERS_TPU_RING=1/0
+# overrides from the environment (pod validation without code edits).
+_RING: Optional[bool] = {"1": True, "0": False}.get(
+    os.environ.get("GCM_FILTERS_TPU_RING", ""))
 
 
 def ring_enabled() -> bool:
