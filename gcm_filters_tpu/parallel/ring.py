@@ -36,8 +36,10 @@ Real-hardware status: the kernel includes the entry barrier
 (``pltpu.get_barrier_semaphore`` + ``collective_id``) required for
 cross-invocation buffer safety on real multi-chip TPU, but this environment
 has a single chip, so the multi-device path is validated in interpret mode
-only; ``_RING`` defaults to auto = on for interpret backends, off on real
-TPU until validated on a pod.
+— on the single-process virtual mesh AND across two real OS processes over
+gloo/TCP (tests/test_multihost.py, bitwise). ``_RING`` defaults to auto =
+on for interpret backends, off on real TPU until validated on a pod
+(override: ``GCM_FILTERS_TPU_RING=1``).
 """
 from __future__ import annotations
 
