@@ -340,6 +340,24 @@ def test_narrow_bf16_optin_runs_pallas(monkeypatch):
         err = np.max(np.abs(got[fin] - want[fin])) / scale
         assert err < 0.06, (gt, err)  # measured 0.012-0.030 in interpret
 
+    # bf16 composes with the manual-DMA windows: 16-row sublane tiles make
+    # the HBM slice offsets/counts 16-aligned (halo_mult doubles to 16)
+    import gcm_filters_tpu.ops.pallas.cheb_pass as cp
+
+    monkeypatch.setattr(cp, "_DMA_WINDOWS", True)
+    filt_dma = Filter(filter_scale=10.0, dx_min=1.0,
+                      grid_type=GridType.IRREGULAR_WITH_LAND, grid_vars=gv5,
+                      use_pallas=True)
+    fn_dma = filt_dma._scalar_fn()
+    out_dma = fn_dma(jnp.asarray(data, dtype=jnp.bfloat16))
+    assert fn_dma.shape_cache.get((ny, nx, "bfloat16")) != "xla"
+    want5 = np.asarray(filt_dma.apply(data.astype(np.float32)))
+    fin5 = np.isfinite(want5)
+    err = (np.max(np.abs(np.asarray(out_dma, np.float64)[fin5]
+                         - want5[fin5])) / np.max(np.abs(want5[fin5])))
+    assert err < 0.06, err
+    monkeypatch.setattr(cp, "_DMA_WINDOWS", False)
+
     # the coupled vector kernels share the machinery (C-grid: 18 bf16
     # coefficient streams — the most stream-bound config in the repo)
     gv_c = dict(wet_mask_t=ones, wet_mask_q=ones, dxT=m, dyT=m, dxCu=m,
