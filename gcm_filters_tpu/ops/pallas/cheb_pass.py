@@ -384,8 +384,9 @@ class _WindowStreamer:
 
     def __init__(self, *, lead, n_fields, ny, nx, br, halo, nb, win, ext_x,
                  hl, ring, ring_axis, ring_size, interp, f_hbm, sbufs, sem,
-                 hs_bufs=None, hn_bufs=None, rsem=None, ssem=None):
+                 hs_bufs=None, hn_bufs=None, rsem=None, ssem=None, tile=8):
         self.lead, self.n_fields = lead, n_fields
+        self.tile = tile
         self.ny, self.nx, self.br, self.halo = ny, nx, br, halo
         self.nb, self.win, self.ext_x, self.hl = nb, win, ext_x, hl
         self.ring, self.ring_size, self.interp = ring, ring_size, interp
@@ -476,7 +477,9 @@ class _WindowStreamer:
 
     def _hbm(self, fi, s0, n):
         if not isinstance(s0, int):
-            s0 = pl.multiple_of(s0, 8)
+            # br/halo are tile multiples, so traced offsets are too — tell
+            # Mosaic the full alignment (16 rows for bf16, 8 for f32)
+            s0 = pl.multiple_of(s0, self.tile)
         return self.f_hbm[fi].at[(*self.pre, pl.ds(s0, n), slice(None))]
 
     def _window_copies(self, fi, slot, j, top):
@@ -712,7 +715,8 @@ def _build_pass_call(cfg: _PassConfig):
                 interp=interp, f_hbm=f_hbm, sbufs=sbufs, sem=sem,
                 hs_bufs=hs_bufs if ring else None,
                 hn_bufs=hn_bufs if ring else None,
-                rsem=rsem if ring else None, ssem=ssem if ring else None)
+                rsem=rsem if ring else None, ssem=ssem if ring else None,
+                tile=_sublane_tile(npdt.itemsize))
             ws.prologue(i)
 
         def dma_window(fi, mirror_ref):

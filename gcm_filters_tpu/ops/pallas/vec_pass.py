@@ -268,6 +268,13 @@ def _build_coupled_pass(
     first), and the result matches the unsharded kernel by construction.
     """
     br, halo = plan.br, plan.halo
+    if ring_axis is not None and not (
+            n_ops <= halo <= br and ny % br == 0):
+        # ring mode re-derives eligibility and declines gracefully instead
+        # of asserting (an AssertionError is not a COMPILE_ERRORS member
+        # and would escape the fallback chain — crash instead of the
+        # mandated silent fallback; cf. cheb_pass.build_ring_pass)
+        return None
     assert n_ops <= halo and halo <= br and ny % br == 0
     nb = ny // br
     win = br + 2 * halo
@@ -336,7 +343,8 @@ def _build_coupled_pass(
                 f_hbm=f_hbm, sbufs=sbufs, sem=sem,
                 hs_bufs=hs_bufs if ring else None,
                 hn_bufs=hn_bufs if ring else None,
-                rsem=rsem if ring else None, ssem=ssem if ring else None)
+                rsem=rsem if ring else None, ssem=ssem if ring else None,
+                tile=_cp._sublane_tile(npdt.itemsize))
             ws.prologue(i)
 
         def dma_window(fi):

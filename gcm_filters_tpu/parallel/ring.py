@@ -24,13 +24,17 @@ ops change XLA's FMA fusion context, not the window data.
 Eligibility (falls back to the round-based engine otherwise): 1-D
 y-sharding (every other mesh axis size 1), 2-D f32 fields, a global plan
 with 8-row-aligned halos whose block height divides the local rows with
->= 2 blocks per shard.
+>= 2 blocks per shard. The pass builders re-derive DMA-window eligibility
+themselves and decline with None — this module never has to mirror that
+predicate.
 
 Both operator families are covered: the scalar pass kernels
 (:func:`make_ring_scalar_apply`) and the coupled vector kernels
 (:func:`make_ring_vector_apply`, B-grid and tap-expanded C-grid), whose
 remote copies carry the stacked (u, v) pair so each pass still issues
-exactly two sends per live field.
+exactly two sends per live field. ``halo_steps`` (the round-based engine's
+comm:compute knob) bounds the steps fused per ring pass the same way it
+bounds steps per exchange round.
 
 Real-hardware status: the kernel includes the entry barrier
 (``pltpu.get_barrier_semaphore`` + ``collective_id``) required for
@@ -104,12 +108,73 @@ def _ring_mesh_for(mesh: Mesh, spatial_axes):
     return Mesh(mesh.devices.reshape(p_y), (yax,)), yax, p_y
 
 
+def _max_fuse(halo_steps: Optional[int]) -> int:
+    """Steps fused per ring pass, honoring the user's halo_steps knob the
+    same way the round-based engine bounds steps per exchange round."""
+    return min(16, halo_steps) if halo_steps else 16
+
+
+def _shard_plan(plan, p_y: int, ny: int, dtype):
+    """Validate a global plan against the shard grid: 4-byte elements and
+    block heights tiling each shard's ly = ny/p_y rows with >= 2 blocks
+    (the edge blocks need interior blocks to overlap the transfers with).
+    Returns ly, or None if ineligible."""
+    if np.dtype(dtype).itemsize != 4 or ny % p_y:
+        return None
+    ly = ny // p_y
+    if plan is None or plan.halo > plan.br:
+        return None
+    if ly % plan.br or ly // plan.br < 2:
+        return None
+    return ly
+
+
+def _pass_chain(plan, build_one):
+    """[(fn, p_offset, n_p, first, last)] over the plan's passes, or None
+    the moment any builder re-derives eligibility and declines."""
+    pass_fns = []
+    off = 0
+    for m, n_ops in enumerate(plan.steps):
+        first = m == 0
+        last = m == len(plan.steps) - 1
+        fn = build_one(n_ops, first, last)
+        if fn is None:
+            return None
+        n_p = n_ops + 1 if first else n_ops
+        pass_fns.append((fn, off, n_p, first, last))
+        off += n_p
+    return pass_fns
+
+
+def _sharded_run(ring_mesh, yax, ext_host, local_run, n_fields):
+    """jit(shard_map(local_run)) plus the device-placed coefficient exts.
+
+    The exts are the GLOBAL extended-block layouts sharded over their
+    leading (block) axis: each shard holds exactly its blocks.
+    """
+    ext_sharding = NamedSharding(ring_mesh, P(yax, None, None))
+    ext_dev = [jax.device_put(jnp.asarray(e), ext_sharding)
+               for e in ext_host]
+    field_spec = P(yax, None)
+    out_specs = field_spec if n_fields == 1 else (field_spec,) * n_fields
+    run = shard_map(
+        local_run,
+        mesh=ring_mesh,
+        in_specs=(field_spec,) * n_fields
+        + (P(yax, None, None),) * len(ext_dev),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(run), ext_dev
+
+
 def make_ring_scalar_apply(
     stencil: ScalarStencil5,
     spec: FilterSpec,
     mesh: Mesh,
     spatial_axes: Tuple[Optional[str], Optional[str]],
     exact_nan: bool = False,
+    halo_steps: Optional[int] = None,
 ):
     """``field -> filtered`` via per-shard ring kernels, or None.
 
@@ -137,50 +202,26 @@ def make_ring_scalar_apply(
     n_coef = (len(_coef_arrays(hot_host))
               + int(hot_host.area is not None)
               + int(hot_host.pre is not None))
-    field_spec = P(yax, None)
 
     def _build(ny, nx, dtype):
-        if np.dtype(dtype).itemsize != 4 or ny % p_y:
-            return None
-        ly = ny // p_y
         plan = plan_passes(
             ny, _ext_geometry(nx, 16)[0], spec.n_steps, n_coef,
             hot_host.post is not None, np.dtype(dtype).itemsize,
+            max_fuse=_max_fuse(halo_steps),
             halo_mult=8,  # ring DMA segments demand 8-row-aligned halos
-            br_divides=ly,
+            br_divides=None if ny % p_y else ny // p_y,
         )
-        if plan is None or plan.halo > plan.br:
-            return None
-        if ly % plan.br or ly // plan.br < 2:
-            return None
-        wx, xhl = _ext_geometry(nx, plan.halo)
-        if wx != nx and (nx < xhl or nx < wx - nx - xhl):
+        ly = _shard_plan(plan, p_y, ny, dtype)
+        if ly is None:
             return None
 
-        pass_fns = []
-        off = 0
-        for m, n_ops in enumerate(plan.steps):
-            first = m == 0
-            last = m == len(plan.steps) - 1
-            fn = build_ring_pass(
-                hot_host, scale, ly, nx, dtype, plan, n_ops, first, last,
-                ring_axis=yax, ring_size=p_y,
-                drop_pre=drop_pre, land_gain=land_gain,
-            )
-            if fn is None:  # builder re-derived eligibility and declined
-                return None
-            n_p = n_ops + 1 if first else n_ops
-            pass_fns.append((fn, off, n_p, first, last))
-            off += n_p
-
-        # GLOBAL extended-block coefficient layouts, sharded over their
-        # leading (block) axis: each shard holds exactly its blocks.
-        ext_sharding = NamedSharding(ring_mesh, P(yax, None, None))
-        ext_dev = [
-            jax.device_put(jnp.asarray(e), ext_sharding)
-            for e in host_ext_inputs(hot_host, plan, ny, nx, dtype, scale)
-        ]
-        n_exts = len(ext_dev)
+        pass_fns = _pass_chain(plan, lambda n_ops, first, last: build_ring_pass(
+            hot_host, scale, ly, nx, dtype, plan, n_ops, first, last,
+            ring_axis=yax, ring_size=p_y,
+            drop_pre=drop_pre, land_gain=land_gain,
+        ))
+        if pass_fns is None:
+            return None
 
         def local_run(field, *exts):
             p = jnp.asarray(p_host, dtype=dtype)
@@ -191,14 +232,11 @@ def make_ring_scalar_apply(
                 state = (out,) if last else out
             return state[0]
 
-        run = shard_map(
-            local_run,
-            mesh=ring_mesh,
-            in_specs=(field_spec,) + (P(yax, None, None),) * n_exts,
-            out_specs=field_spec,
-            check_vma=False,
+        return _sharded_run(
+            ring_mesh, yax,
+            host_ext_inputs(hot_host, plan, ny, nx, dtype, scale),
+            local_run, n_fields=1,
         )
-        return jax.jit(run), ext_dev
 
     cache = {}
 
@@ -224,6 +262,7 @@ def make_ring_vector_apply(
     spec: FilterSpec,
     mesh: Mesh,
     spatial_axes: Tuple[Optional[str], Optional[str]],
+    halo_steps: Optional[int] = None,
 ):
     """``(u, v) -> (fu, fv)`` via per-shard ring kernels, or None.
 
@@ -268,51 +307,30 @@ def make_ring_vector_apply(
             taps_cache.append(cgrid_tap_arrays(operator))
         return taps_cache[0]
 
-    field_spec = P(yax, None)
-
     def _build(ny, nx, dtype):
-        if np.dtype(dtype).itemsize != 4 or ny % p_y:
-            return None
-        ly = ny // p_y
         planner = plan_ctap_passes if is_ctap else plan_vec_passes
         plan = planner(
             ny, nx, spec.n_steps, np.dtype(dtype).itemsize,
+            max_fuse=_max_fuse(halo_steps),
             halo_mult=8,  # ring DMA segments demand 8-row-aligned halos
-            br_divides=ly,
+            br_divides=None if ny % p_y else ny // p_y,
         )
-        if plan is None or plan.halo > plan.br:
-            return None
-        if ly % plan.br or ly // plan.br < 2:
-            return None
-        wx, xhl = _ext_geometry(nx, plan.halo)
-        if wx != nx and (nx < xhl or nx < wx - nx - xhl):
+        ly = _shard_plan(plan, p_y, ny, dtype)
+        if ly is None:
             return None
 
         build = build_ctap_pass if is_ctap else build_vec_pass
-        pass_fns = []
-        off = 0
-        for m, n_ops in enumerate(plan.steps):
-            first = m == 0
-            last = m == len(plan.steps) - 1
-            fn = build(ly, nx, dtype, plan, n_ops, first, last,
-                       zap=operator.zap_nans,
-                       ring_axis=yax, ring_size=p_y)
-            if fn is None:  # builder re-derived eligibility and declined
-                return None
-            n_p = n_ops + 1 if first else n_ops
-            pass_fns.append((fn, off, n_p, first, last))
-            off += n_p
+        pass_fns = _pass_chain(plan, lambda n_ops, first, last: build(
+            ly, nx, dtype, plan, n_ops, first, last,
+            zap=operator.zap_nans, ring_axis=yax, ring_size=p_y,
+        ))
+        if pass_fns is None:
+            return None
 
-        # GLOBAL extended-block coefficient layouts, sharded over their
-        # leading (block) axis: each shard holds exactly its blocks.
         if is_ctap:
             ext_host = host_ctap_ext_inputs(_taps(), plan, dtype, scale)
         else:
             ext_host = host_vec_ext_inputs(operator, plan, dtype, scale)
-        ext_sharding = NamedSharding(ring_mesh, P(yax, None, None))
-        ext_dev = [jax.device_put(jnp.asarray(e), ext_sharding)
-                   for e in ext_host]
-        n_exts = len(ext_dev)
 
         def local_run(u, v, *exts):
             # prepare/finalize are identity for both vector operators
@@ -326,15 +344,7 @@ def make_ring_vector_apply(
             acc = state[0]
             return acc[0], acc[1]
 
-        run = shard_map(
-            local_run,
-            mesh=ring_mesh,
-            in_specs=(field_spec, field_spec)
-            + (P(yax, None, None),) * n_exts,
-            out_specs=(field_spec, field_spec),
-            check_vma=False,
-        )
-        return jax.jit(run), ext_dev
+        return _sharded_run(ring_mesh, yax, ext_host, local_run, n_fields=2)
 
     cache = {}
 

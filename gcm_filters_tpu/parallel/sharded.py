@@ -509,13 +509,22 @@ def make_sharded_scalar_apply(
               + int(stencil.area is not None))  # area rides the ext blocks
     ext_spec = P(yax, None, xax)
 
+    _plan_cache = {}
+
     def _feasible(ly, lx, dtype):
-        return _plan_local_pallas(
-            ly, lx, spec.n_steps,
-            len(host_coef_names) + int(keep_pre)
-            + int(stencil.area is not None),
-            stencil.post is not None, np.dtype(dtype).itemsize, halo_steps,
-        )
+        # cached: the planner's candidate sweep is pure Python and fully
+        # determined by (ly, lx, dtype) — without the cache it re-ran on
+        # the eager hot path of EVERY apply (review finding)
+        key = (ly, lx, str(dtype))
+        if key not in _plan_cache:
+            _plan_cache[key] = _plan_local_pallas(
+                ly, lx, spec.n_steps,
+                len(host_coef_names) + int(keep_pre)
+                + int(stencil.area is not None),
+                stencil.post is not None, np.dtype(dtype).itemsize,
+                halo_steps,
+            )
+        return _plan_cache[key]
 
     # On an actually-distributed mesh the prepared exts remove the
     # per-apply coefficient halo COLLECTIVES; on a 1x1/unsharded-spatial
@@ -597,7 +606,8 @@ def make_sharded_scalar_apply(
             _ring[0] = None
             if batch_axis is None and _ring_mod.ring_enabled():
                 _ring[0] = _ring_mod.make_ring_scalar_apply(
-                    stencil, spec, mesh, spatial_axes, exact_nan)
+                    stencil, spec, mesh, spatial_axes, exact_nan,
+                    halo_steps=halo_steps)
         return _ring[0]
 
     def apply_fn(field):
@@ -920,8 +930,13 @@ def make_sharded_vector_apply(
         core = lambda a: a[..., cells:-cells, cells:-cells]
 
         if is_ctap:
+            # honor operator.zap_nans like the unsharded engine and the
+            # sharded Pallas local path (review finding: unconditional
+            # scrubbing made sharded != unsharded for zap_nans=False)
             def lap_fn(tu, tv):
-                return apply_taps(ext_op, jnp.nan_to_num(tu), jnp.nan_to_num(tv))
+                if operator.zap_nans:
+                    tu, tv = jnp.nan_to_num(tu), jnp.nan_to_num(tv)
+                return apply_taps(ext_op, tu, tv)
         else:
             def lap_fn(tu, tv):
                 return ext_op.laplacian(tu, tv, shift=jnp.roll)
@@ -1026,6 +1041,7 @@ def make_sharded_vector_apply(
 
     _primary = [None]  # a callable = injected override (tests)
     _pinned = set()  # (ly, lx, dtype) whose kernel failed to compile
+    _plan_cache = {}
 
     # In-kernel ring halo exchange (parallel/ring.py): the compute/comm
     # overlap path for 1-D y-sharded meshes — built lazily, None = tried
@@ -1039,7 +1055,8 @@ def make_sharded_vector_apply(
             _ring[0] = None
             if batch_axis is None and _ring_mod.ring_enabled():
                 _ring[0] = _ring_mod.make_ring_vector_apply(
-                    operator, spec, mesh, spatial_axes)
+                    operator, spec, mesh, spatial_axes,
+                    halo_steps=halo_steps)
         return _ring[0]
 
     def apply_fn(u, v):
@@ -1078,13 +1095,14 @@ def make_sharded_vector_apply(
                         f"{u3.shape[-2:]} dtype {u3.dtype} failed to "
                         f"compile; falling back to round-based exchange",
                     )
+        if key not in _plan_cache:  # see the scalar _feasible cache
+            _plan_cache[key] = _plan_local_coupled(
+                ly, lx, spec.n_steps, len(_coef_keys),
+                np.dtype(dtype).itemsize, halo_steps, br_target=_br_tgt)
         use_pl = (
             key not in _pinned
             and _pallas_on(dtype)
-            and _plan_local_coupled(
-                ly, lx, spec.n_steps, len(_coef_keys),
-                np.dtype(dtype).itemsize, halo_steps,
-                br_target=_br_tgt) is not None
+            and _plan_cache[key] is not None
         )
         if use_pl:
             try:

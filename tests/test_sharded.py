@@ -278,3 +278,39 @@ def test_sharded_dma_window_local_compute(monkeypatch):
                   grid_vars={"area": area, "wet_mask": wet}, use_pallas=False)
     np.testing.assert_allclose(outs[True], np.asarray(base.apply(data)),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_vector_zap_nans_false_matches_unsharded():
+    """A C-grid operator with zap_nans=False must propagate NaNs through
+    the sharded XLA rounds exactly like the unsharded engine (review
+    finding: the sharded lap_fn scrubbed unconditionally, so a NaN that
+    poisons a 61-cell neighborhood unsharded left only 1 NaN sharded)."""
+    import dataclasses
+
+    from conftest import make_vector_grid_data
+    from gcm_filters_tpu.engine import vector_filter_apply
+    from gcm_filters_tpu.parallel.sharded import make_sharded_vector_apply
+
+    _, (u, v), grid_vars = make_vector_grid_data(
+        GridType.VECTOR_C_GRID, (64, 128))
+    filt = Filter(filter_scale=6.0, dx_min=1.0,
+                  grid_type=GridType.VECTOR_C_GRID, grid_vars=grid_vars,
+                  use_pallas=False)
+    op = dataclasses.replace(filt.operator, zap_nans=False)
+    u = np.array(u)
+    u[10, 20] = np.nan
+
+    wu, wv = (np.asarray(a) for a in vector_filter_apply(
+        op, filt.filter_spec, u, v))
+    assert np.isnan(wu).sum() > 1  # NaN really spreads in this config
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("y", "x"))
+    fn = make_sharded_vector_apply(op, filt.filter_spec, mesh, ("y", "x"),
+                                   use_pallas=False)
+    fu, fv = (np.asarray(a) for a in fn(u, v))
+    assert (np.isnan(fu) == np.isnan(wu)).all()
+    assert (np.isnan(fv) == np.isnan(wv)).all()
+    m = ~np.isnan(wu)
+    np.testing.assert_allclose(fu[m], wu[m], rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(fv[~np.isnan(wv)], wv[~np.isnan(wv)],
+                               rtol=1e-11, atol=1e-13)
