@@ -1,0 +1,74 @@
+"""Planner pins for the benchmarked production configs.
+
+benchmarks/results.json's on-chip records are tied to SPECIFIC compiled
+kernel configurations (block height, halo, pass split) chosen by the pure-
+Python planners. A planner edit that silently shifts these — a changed
+default, a new alignment rule, a budget tweak — would invalidate every
+recorded number without failing any correctness test. These pins encode
+the measured-good configs at the headline 2400x3600 f32 workload; if a
+planner change trips them, either fix the regression or re-benchmark on
+chip and update both results.json and this file.
+"""
+import numpy as np
+
+from gcm_filters_tpu.ops.pallas.cheb_pass import (
+    PassPlan,
+    _ext_geometry,
+    plan_passes,
+)
+from gcm_filters_tpu.ops.pallas.vec_pass import (
+    plan_ctap_passes,
+    plan_vec_passes,
+)
+
+
+def test_production_plan_pins():
+    wx = _ext_geometry(3600, 16)[0]
+    assert wx == 3840  # lane-aligned compute width of the 3600-col domain
+
+    # headline scalar (tripolar land+area, h-space: area ext + post stream):
+    # single whole-recurrence pass at the measured br=48 sweet spot
+    assert plan_passes(2400, wx, 11, 1, True, 4) == PassPlan(
+        br=48, halo=12, steps=(11,))
+    # 5-coefficient grids (IRREGULAR/MOM5/POP): same single-pass shape
+    assert plan_passes(2400, wx, 11, 7, True, 4) == PassPlan(
+        br=48, halo=12, steps=(11,))
+    # Taper (n_steps=39): balanced 3-way split
+    assert plan_passes(2400, wx, 39, 1, True, 4) == PassPlan(
+        br=200, halo=16, steps=(13, 13, 13))
+    # coupled vector kernels: measured sweet spots br=32 (C) / br=40 (B)
+    assert plan_ctap_passes(2400, 3600, 11, 4) == PassPlan(
+        br=32, halo=12, steps=(11,))
+    assert plan_vec_passes(2400, 3600, 11, 4) == PassPlan(
+        br=40, halo=12, steps=(11,))
+
+
+def test_dispatch_derives_the_pinned_headline_plan():
+    """End-to-end: the dispatcher's own planning inputs for the headline
+    Filter yield the pinned single-pass br=48 artifact."""
+    import jax.numpy as jnp
+
+    from gcm_filters_tpu import Filter, GridType
+    from gcm_filters_tpu.ops.pallas.cheb_pass import _coef_arrays
+    from gcm_filters_tpu.ops.stencil import hspace_drop_pre
+
+    ny, nx = 2400, 3600
+    rng = np.random.default_rng(42)
+    wet = np.ones((ny, nx)); wet[0, :] = 0
+    filt = Filter(
+        filter_scale=10.0, dx_min=1.0,
+        grid_type=GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
+        grid_vars={"area": 0.9 + 0.2 * rng.random((ny, nx)),
+                   "wet_mask": wet},
+        dtype=jnp.float32,
+    )
+    st = filt.operator
+    assert hspace_drop_pre(st)
+    import dataclasses
+
+    hot = dataclasses.replace(st, pre=None, zap_nans=False)
+    n_coef = (len(_coef_arrays(hot)) + int(hot.area is not None)
+              + int(hot.pre is not None))
+    plan = plan_passes(ny, _ext_geometry(nx, 16)[0], filt.n_steps, n_coef,
+                       hot.post is not None, 4)
+    assert plan == PassPlan(br=48, halo=12, steps=(11,))
