@@ -35,6 +35,23 @@ from .models.grids import GridType, is_area_weighted, is_vector_grid, required_g
 from .ops.laplacians import build_operator
 
 
+
+def _validate_dims(dims, required: bool = False):
+    """Normalize/validate the `dims` argument (two spatial dim names).
+
+    One definition serves every entry point (.apply xarray/dict paths and
+    .apply_to_vector) so the contract cannot drift between them.
+    """
+    if dims is None:
+        if required:
+            raise ValueError("xarray inputs require the `dims` argument")
+        return None
+    dims = tuple(dims)
+    if len(dims) != 2:
+        raise ValueError("`dims` must name exactly two spatial dimensions")
+    return dims
+
+
 def _maybe_xarray():
     try:
         import xarray as xr  # optional dependency
@@ -122,10 +139,19 @@ class Filter:
     custom_operator: Optional[object] = dc_field(default=None, repr=False)
 
     def __post_init__(self):
-        # Fixed-factor (area-weighted) filtering happens on the unit-spacing
-        # transformed grid, so dx_min must be 1 (reference filter.py:340-346).
-        if is_area_weighted(self.grid_type):
-            if self.dx_min != 1:
+        # grid_type/grid_vars are ignored with a custom operator, so its
+        # grid-derived validations are skipped too (review finding: the
+        # area-weighted dx_min check used to fire off the ignored enum).
+        if self.custom_operator is None:
+            # The reference's first act is the kernel-registry lookup — an
+            # unknown grid type is a KeyError before any other validation
+            # (reference filter.py: `ALL_KERNELS[self.grid_type]`).
+            if not isinstance(self.grid_type, GridType):
+                raise KeyError(self.grid_type)
+            # Fixed-factor (area-weighted) filtering happens on the
+            # unit-spacing transformed grid, so dx_min must be 1
+            # (reference filter.py:340-346).
+            if is_area_weighted(self.grid_type) and self.dx_min != 1:
                 raise ValueError(
                     "Provided Laplacian is for simple fixed factor filtering, "
                     "where transformed field is filtered on a regular grid with "
@@ -376,12 +402,7 @@ class Filter:
                 "Dict entries with named dims ((array, dims) pairs) require "
                 "the `dims` argument naming the two spatial dimensions."
             )
-        if dims is not None:
-            dims = tuple(dims)
-            if len(dims) != 2:
-                raise ValueError(
-                    "`dims` must name exactly two spatial dimensions"
-                )
+        dims = _validate_dims(dims)
 
         ny_nx = self._spatial_shape()
         if ny_nx is None:
@@ -462,11 +483,7 @@ class Filter:
     def _apply_xarray(self, ds, dims):
         import xarray as xr
 
-        if dims is None:
-            raise ValueError("xarray inputs require the `dims` argument")
-        dims = list(dims)
-        if len(dims) != 2:
-            raise ValueError("`dims` must name exactly two spatial dimensions")
+        dims = _validate_dims(dims, required=True)
 
         if isinstance(ds, xr.Dataset):
             filtered = ds.copy(deep=True)
@@ -523,16 +540,26 @@ class Filter:
         lead = shape[:-2]
         n = int(np.prod(lead))
         if n == 0:
+            # JAX promotion, matching what the non-empty path returns
+            # (numpy's result_type promotes int32+f32 to f64 — review
+            # finding: the two paths disagreed on integer inputs)
+            from .engine import _compute_dtype
+
             out_dtype = np.dtype(self.dtype) if self.dtype is not None else \
-                np.result_type(getattr(data, "dtype", np.float64), np.float32)
+                np.dtype(_compute_dtype(getattr(data, "dtype", np.float64)))
             return np.empty(shape, dtype=out_dtype)
         fn = self._scalar_fn()
         out = None
         for start in range(0, n, chunk):
             stop = min(start + chunk, n)
-            idx = np.unravel_index(np.arange(start, stop), lead)
-            block = np.stack([np.asarray(data[tuple(i[j] for i in idx)])
-                              for j in range(stop - start)])
+            if len(lead) == 1:
+                # one contiguous range read per chunk — the chunked-store
+                # friendly access pattern this method exists for
+                block = np.asarray(data[start:stop])
+            else:
+                idx = np.unravel_index(np.arange(start, stop), lead)
+                block = np.stack([np.asarray(data[tuple(i[j] for i in idx)])
+                                  for j in range(stop - start)])
             res = np.asarray(fn(self._coerce(block)))
             if out is None:
                 out = np.empty(shape, dtype=res.dtype)
@@ -552,11 +579,7 @@ class Filter:
 
         xr = _maybe_xarray()
         if xr is not None and isinstance(ufield, xr.DataArray):
-            if dims is None:
-                raise ValueError("xarray inputs require the `dims` argument")
-            dims = list(dims)
-            if len(dims) != 2:
-                raise ValueError("`dims` must name exactly two spatial dimensions")
+            dims = _validate_dims(dims, required=True)
             fn = self._vector_fn()
 
             def _np_fn(u, v):

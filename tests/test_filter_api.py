@@ -507,3 +507,37 @@ def test_grid_ds_attribute():
     else:
         assert isinstance(ds, dict)
         np.testing.assert_array_equal(np.asarray(ds["wet_mask"]), wet)
+
+
+def test_unknown_grid_type_raises_keyerror_first():
+    """The reference's first act is ALL_KERNELS[grid_type]: an unknown grid
+    type must be a KeyError before any other validation (review finding:
+    it used to surface as a late ValueError after the spec fit)."""
+    with pytest.raises(KeyError):
+        Filter(filter_scale=4.0, dx_min=2.0, grid_type="REGULAR")
+
+
+def test_custom_operator_skips_grid_type_validation():
+    """grid_type/grid_vars are documented as ignored with custom_operator —
+    the area-weighted dx_min check must not fire off the ignored enum
+    (review finding, confirmed by repro)."""
+    from gcm_filters_tpu.ops.stencil import ScalarStencil5
+
+    st = ScalarStencil5(c=-4.0, n=1.0, s=1.0, e=1.0, w=1.0)
+    filt = Filter(filter_scale=4.0, dx_min=2.0,
+                  grid_type=GridType.REGULAR_AREA_WEIGHTED,
+                  custom_operator=st)
+    out = filt.apply(np.random.default_rng(0).random((32, 64)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_apply_streamed_empty_batch_dtype_matches_nonempty():
+    """The empty-batch fast path must return the same dtype the streamed
+    path produces (review finding: numpy promotion gave f64 for int32
+    inputs while JAX promotion gives f32)."""
+    filt = Filter(filter_scale=4.0, dx_min=1.0)
+    empty = filt.apply_streamed(np.empty((0, 16, 128), dtype=np.int32))
+    full = filt.apply_streamed(
+        np.arange(2 * 16 * 128, dtype=np.int32).reshape(2, 16, 128))
+    assert empty.dtype == full.dtype, (empty.dtype, full.dtype)
+    assert empty.shape == (0, 16, 128)
