@@ -30,13 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import gcm_filters_tpu as gf
 import roofline
 
-HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5": 2765.0}
-
-
 def _adaptive_n(est, cap):
-    """Chain length targeting ~0.12 s of steady-state work (sub-ms kernels
-    need long chains for the differencing to beat dispatch-latency noise)."""
-    return min(cap, max(20, int(0.12 / max(est, 1e-5))))
+    """Chain length targeting ~0.18 s of steady-state work — above the
+    calibrated >=0.15 s floor (CLAUDE.md: shorter chains inflate through
+    tunnel round-trip jitter; sub-ms kernels need long chains for the
+    differencing to beat dispatch-latency noise)."""
+    return min(cap, max(20, int(0.18 / max(est, 1e-5))))
 
 
 def chain_time(fn, x, n, reps=4):
@@ -72,6 +71,8 @@ def chain_time_vec(fn, u, v, n, reps=4):
 
 
 def grid_vars_for(grid_type, ny, nx, rng):
+    # built lazily per grid (a dict literal would materialize every grid's
+    # ~70 MB f64 arrays at production size on each call)
     wet = np.ones((ny, nx))
     wet[0, :] = 0
     wet[: ny // 6, : nx // 5] = 0
@@ -85,31 +86,37 @@ def grid_vars_for(grid_type, ny, nx, rng):
         return a
 
     G = gf.GridType
-    return {
-        G.REGULAR: {},
-        G.REGULAR_AREA_WEIGHTED: dict(area=area),
-        G.REGULAR_WITH_LAND: dict(wet_mask=wet),
-        G.REGULAR_WITH_LAND_AREA_WEIGHTED: dict(area=area, wet_mask=wet),
-        G.IRREGULAR_WITH_LAND: dict(
+    builders = {
+        G.REGULAR: lambda: {},
+        G.REGULAR_AREA_WEIGHTED: lambda: dict(area=area),
+        G.REGULAR_WITH_LAND: lambda: dict(wet_mask=wet),
+        G.REGULAR_WITH_LAND_AREA_WEIGHTED:
+            lambda: dict(area=area, wet_mask=wet),
+        G.IRREGULAR_WITH_LAND: lambda: dict(
             wet_mask=wet, dxw=m, dyw=1 + 0.05 * m, dxs=1 + 0.1 * m, dys=m,
             area=m * m, kappa_w=ones, kappa_s=ones,
         ),
-        G.MOM5U: dict(wet_mask=wet, dxt=m, dyt=m, dxu=m, dyu=m, area_u=m * m),
-        G.MOM5T: dict(wet_mask=wet, dxt=m, dyt=m, dxu=m, dyu=m, area_t=m * m),
-        G.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED: dict(area=area, wet_mask=wet),
-        G.TRIPOLAR_POP_WITH_LAND: dict(
-            wet_mask=wet, dxe=m, dye=1 + 0.1 * m, dxn=folding(), dyn=folding(),
-            tarea=m * m,
+        G.MOM5U: lambda: dict(wet_mask=wet, dxt=m, dyt=m, dxu=m, dyu=m,
+                              area_u=m * m),
+        G.MOM5T: lambda: dict(wet_mask=wet, dxt=m, dyt=m, dxu=m, dyu=m,
+                              area_t=m * m),
+        G.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED:
+            lambda: dict(area=area, wet_mask=wet),
+        G.TRIPOLAR_POP_WITH_LAND: lambda: dict(
+            wet_mask=wet, dxe=m, dye=1 + 0.1 * m, dxn=folding(),
+            dyn=folding(), tarea=m * m,
         ),
-        G.VECTOR_C_GRID: dict(
+        G.VECTOR_C_GRID: lambda: dict(
             wet_mask_t=ones, wet_mask_q=ones, dxT=m, dyT=m, dxCu=m, dyCu=m,
             dxCv=m, dyCv=m, dxBu=m, dyBu=m, area_u=m * m, area_v=m * m,
             kappa_iso=ones, kappa_aniso=ones,
         ),
-        G.VECTOR_B_GRID: dict(
-            DXU=m, DYU=m, HUS=m, HUW=m, HTE=m, HTN=m, UAREA=m * m, TAREA=m * m,
+        G.VECTOR_B_GRID: lambda: dict(
+            DXU=m, DYU=m, HUS=m, HUW=m, HTE=m, HTN=m, UAREA=m * m,
+            TAREA=m * m,
         ),
-    }[grid_type]
+    }
+    return builders[grid_type]()
 
 
 def main():
@@ -118,7 +125,6 @@ def main():
     args = ap.parse_args()
 
     dev = jax.devices()[0]
-    hbm = next((v for k, v in HBM_GBPS.items() if k in dev.device_kind), None)
     ny, nx = (1200, 1800) if args.quick else (2400, 3600)
     n_chain = 5 if args.quick else 200
     rng = np.random.default_rng(42)
@@ -132,7 +138,6 @@ def main():
                     if g not in (gf.GridType.VECTOR_C_GRID, gf.GridType.VECTOR_B_GRID)]
     for grid in scalar_grids:
         gv = grid_vars_for(grid, ny, nx, rng)
-        fixed_factor = "AREA_WEIGHTED" in grid.name
         for pallas in (True, False):
             filt = gf.Filter(
                 filter_scale=10.0, dx_min=1.0, grid_type=grid, grid_vars=gv,

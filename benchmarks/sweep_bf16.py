@@ -69,7 +69,9 @@ def main():
         scale = float(np.max(np.abs(y32[fin]))) or 1.0
         row["bf16_rel_err"] = round(
             float(np.max(np.abs(y16[fin] - y32[fin]))) / scale, 5)
-        row["bf16_pinned_xla"] = (
+        # "xla" = compile-failure pin OR plan-ineligible rerouting — either
+        # way ms_bf16 would time the XLA engine, not the bf16 kernels
+        row["bf16_routed_to_xla"] = (
             fn.shape_cache.get((ny, nx, "bfloat16")) == "xla")
         for dt_name, x in (("f32", x32), ("bf16", x16)):
             dt = chain_time(fn, x, n_chain)
@@ -99,8 +101,11 @@ def main():
         row["bf16_rel_err"] = round(
             max(float(np.max(np.abs(yu16 - yu32))),
                 float(np.max(np.abs(yv16 - yv32)))) / scale, 5)
-        row["bf16_pinned_xla"] = (
-            fn.shape_cache.get((ny, nx, "bfloat16")) == "xla")
+        # the vector dispatcher returns None (no build) for plan-ineligible
+        # shapes and pins "xla" on compile failure — both mean the bf16
+        # timing below would measure the XLA engine
+        row["bf16_routed_to_xla"] = (
+            fn.shape_cache.get((ny, nx, "bfloat16")) in (None, "xla"))
         for dt_name, (a, b) in (("f32", (u32, v32)), ("bf16", (u16, v16))):
             dt = chain_time_vec(fn, a, b, n_chain)
             row[f"ms_{dt_name}"] = round(dt * 1e3, 3)

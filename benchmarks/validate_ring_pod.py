@@ -17,11 +17,22 @@ Writes benchmarks/ring_pod.json. If it passes and wins, flip ring.py's
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
+if "--small" in sys.argv:
+    # CPU smoke: the env-prefix form does NOT override the axon plugin —
+    # force the backend in-process before any JAX use (CLAUDE.md), with
+    # 8 virtual devices
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+
 import jax
+
+if "--small" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -30,13 +41,7 @@ import gcm_filters_tpu as gf
 import gcm_filters_tpu.parallel.ring as ring_mod
 
 
-def chain(fn, x, n):
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(n):
-        y = fn(y)
-    float(jnp.nanmean(y[1:]))
-    return time.perf_counter() - t0
+from bench import _timed_chain as chain  # one timing protocol everywhere
 
 
 def main():

@@ -248,15 +248,11 @@ def make_pallas_scalar_apply(
         if np.dtype(dtype).itemsize < 4:
             # narrow (bf16) streams support only the fused-pass path; the
             # pad-to-block and single-step fallbacks are planned for f32
-            # tiles, so ineligible shapes go straight to the XLA engine
-            arrays_dev = _cast_arrays(arrays_host, dtype)
-
-            def run_xla(field, arrays, exts):
-                del exts
-                return scalar_filter_apply(
-                    _merge_stencil(skeleton, arrays), spec, field)
-
-            return jax.jit(run_xla), arrays_dev, []
+            # tiles, so ineligible shapes go straight to the XLA engine —
+            # marked with the same "xla" sentinel as compile-failure pins
+            # so harnesses (sweep_bf16.py) can tell a real bf16-kernel
+            # timing from a silently rerouted one
+            return "xla"
 
         # Pad-to-block rounds: shapes whose rows don't divide into
         # sublane-aligned blocks reuse the sharded engine's local compute
@@ -365,7 +361,11 @@ def make_pallas_scalar_apply(
         key = (ny, nx, str(field.dtype))
         if cache.get(key) == "xla":
             return _xla_fallback(field)
-        fn, arrays_dev, exts = _get(ny, nx, field.dtype)
+        built = _get(ny, nx, field.dtype)
+        if built == "xla":
+            cache[key] = "xla"
+            return _xla_fallback(field)
+        fn, arrays_dev, exts = built
         try:
             if field.ndim == 2:
                 return fn(field, arrays_dev, exts)

@@ -92,12 +92,10 @@ def _cases():
     return cases
 
 
-def _filter_kw(grid_type):
-    from gcm_filters_tpu.models.grids import is_area_weighted
-
-    kw = dict(FILTER_KW)
-    kw["dx_min"] = 1.0
-    return kw
+def _filter_kw():
+    # dx_min=1.0 satisfies every grid incl. the area-weighted fixed-factor
+    # family (which REQUIRES 1.0)
+    return dict(FILTER_KW, dx_min=1.0)
 
 
 def _make_vector_inputs(grid_type, shape):
@@ -193,7 +191,13 @@ def _make_prod_inputs(name, grid_type):
     from gcm_filters_tpu.models.grids import is_vector_grid
 
     if is_vector_grid(grid_type):
-        return _make_vector_inputs(grid_type, (PROD_NY, PROD_NX))
+        (u, v), gv = _make_vector_inputs(grid_type, (PROD_NY, PROD_NX))
+        # snap fields AND metrics to f32-representable values so the chip
+        # phase (dtype=f32) and the f64 golden consume identical bits —
+        # mirrors _make_prod_scalar_inputs (review finding: raw f64 inputs
+        # added input-cast noise amplified over n_steps to the comparison)
+        snap = lambda a: np.asarray(a, np.float32).astype(np.float64)
+        return (snap(u), snap(v)), {k: snap(a) for k, a in gv.items()}
     return _make_prod_scalar_inputs(grid_type)
 
 
@@ -254,7 +258,7 @@ def phase_golden():
             u32 = u.astype(np.float32)
             v32 = v.astype(np.float32)
             filt = Filter(grid_type=grid_type, grid_vars=grid_vars,
-                          use_pallas=False, **_filter_kw(grid_type))
+                          use_pallas=False, **_filter_kw())
             gu, gv = filt.apply_to_vector(u32.astype(np.float64),
                                           v32.astype(np.float64))
             store[f"{name}/u"] = u32
@@ -266,7 +270,7 @@ def phase_golden():
                 grid_type, shape)
             d32 = data.astype(np.float32)
             filt = Filter(grid_type=grid_type, grid_vars=grid_vars,
-                          use_pallas=False, **_filter_kw(grid_type))
+                          use_pallas=False, **_filter_kw())
             golden = filt.apply(d32.astype(np.float64))
             store[f"{name}/x"] = d32
             store[f"{name}/golden"] = np.asarray(golden)
@@ -322,7 +326,7 @@ def phase_tpu(quick=False, dma=False):
             k.split("/", 2)[2]: z[k]
             for k in z.files if k.startswith(f"{name}/gv/")
         }
-        kw = _filter_kw(grid_type)
+        kw = _filter_kw()
         telemetry.reset_fallback_counts()
         if is_vector_grid(grid_type):
             u = jnp.asarray(z[f"{name}/u"])
@@ -385,7 +389,7 @@ def phase_tpu(quick=False, dma=False):
                  for k in z.files if k.startswith(f"{name}/gv/")}
     fs = Filter(grid_type=G.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
                 grid_vars=grid_vars, dtype=jnp.float32, mesh=mesh,
-                spatial_axes=("y", "x"), **_filter_kw(None))
+                spatial_axes=("y", "x"), **_filter_kw())
     out = np.asarray(fs.apply(jnp.asarray(z[f"{name}/x"])))
     golden = z[f"{name}/golden"]
     m = np.asarray(grid_vars["wet_mask"]) > 0
@@ -402,7 +406,7 @@ def phase_tpu(quick=False, dma=False):
     telemetry.reset_fallback_counts()
     fv = Filter(grid_type=G.VECTOR_B_GRID, grid_vars=grid_vars,
                 dtype=jnp.float32, mesh=mesh, spatial_axes=("y", "x"),
-                **_filter_kw(None))
+                **_filter_kw())
     su, sv = fv.apply_to_vector(jnp.asarray(z[f"{name}/u"]),
                                 jnp.asarray(z[f"{name}/v"]))
     gu, gv_ = z[f"{name}/golden_u"], z[f"{name}/golden_v"]
