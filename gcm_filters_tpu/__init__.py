@@ -10,7 +10,8 @@ Public API mirrors the reference surface:
   - ``required_grid_vars``— grid-variable introspection per grid type
 
 TPU-native extensions:
-  - ``FilterConfig`` knobs on ``Filter`` (compute dtype, pallas on/off)
+  - TPU knobs on ``Filter`` itself: compute ``dtype``, ``use_pallas``,
+    ``mesh``/``spatial_axes``/``batch_axis`` sharding, ``exact_nan``
   - ``gcm_filters_tpu.parallel`` — 2D shard_map domain decomposition with
     halo exchange (incl. the tripolar north fold) over a ``jax.sharding.Mesh``
 """

@@ -566,6 +566,65 @@ class Filter:
             out.reshape((n,) + shape[-2:])[start:stop] = res
         return out
 
+    def apply_to_vector_streamed(self, ufield, vfield, chunk: int = 16):
+        """Filter an out-of-core (u, v) batch by streaming leading-dim chunks.
+
+        Vector twin of :meth:`apply_streamed` — the device-memory analogue
+        of the reference's chunked-dask ``apply_to_vector`` (reference
+        filter.py:518-527): ``ufield``/``vfield`` may be any array-likes
+        (numpy, memory-mapped, zarr arrays) of equal shape
+        ``(batch..., y, x)`` too large for device memory; chunks of
+        ``chunk`` slice pairs are transferred, filtered on device, and
+        returned as two numpy arrays.
+        """
+        if not self._is_vector:
+            raise ValueError(
+                f"Provided Laplacian {self._operator_name()} is a scalar Laplacian. "
+                "The ``.apply_to_vector_streamed`` method is only suitable "
+                "for vector Laplacians."
+            )
+        shape = tuple(ufield.shape)
+        if tuple(vfield.shape) != shape:
+            raise ValueError(
+                "ufield and vfield must have the same shape; got "
+                f"{shape} and {tuple(vfield.shape)}"
+            )
+        if len(shape) < 3:
+            fu, fv = self.apply_to_vector(np.asarray(ufield),
+                                          np.asarray(vfield))
+            return np.asarray(fu), np.asarray(fv)
+        lead = shape[:-2]
+        n = int(np.prod(lead))
+        if n == 0:
+            from .engine import _compute_dtype
+
+            out_dtype = np.dtype(self.dtype) if self.dtype is not None else \
+                np.dtype(_compute_dtype(
+                    getattr(ufield, "dtype", np.float64),
+                    getattr(vfield, "dtype", np.float64)))
+            return (np.empty(shape, dtype=out_dtype),
+                    np.empty(shape, dtype=out_dtype))
+        fn = self._vector_fn()
+        out_u = out_v = None
+        for start in range(0, n, chunk):
+            stop = min(start + chunk, n)
+            if len(lead) == 1:
+                bu = np.asarray(ufield[start:stop])
+                bv = np.asarray(vfield[start:stop])
+            else:
+                idx = np.unravel_index(np.arange(start, stop), lead)
+                sel = [tuple(i[j] for i in idx) for j in range(stop - start)]
+                bu = np.stack([np.asarray(ufield[s]) for s in sel])
+                bv = np.stack([np.asarray(vfield[s]) for s in sel])
+            ru, rv = fn(self._coerce(bu), self._coerce(bv))
+            ru, rv = np.asarray(ru), np.asarray(rv)
+            if out_u is None:
+                out_u = np.empty(shape, dtype=ru.dtype)
+                out_v = np.empty(shape, dtype=rv.dtype)
+            out_u.reshape((n,) + shape[-2:])[start:stop] = ru
+            out_v.reshape((n,) + shape[-2:])[start:stop] = rv
+        return out_u, out_v
+
     def apply_to_vector(self, ufield, vfield, dims: Optional[Sequence[str]] = None):
         """Filter a vector field (u, v) with a vector Laplacian.
 

