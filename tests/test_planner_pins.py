@@ -23,8 +23,11 @@ from gcm_filters_tpu.ops.pallas.vec_pass import (
 
 
 def test_production_plan_pins():
+    # lane-aligned compute width of the 3600-col domain: round 4's offset-0
+    # tail-wrap layout shrinks it from 3840 to roundup(3600 + 2*16) = 3712
+    # (3.4% less VPU work; on-chip A/Bs in _ext_geometry's docstring)
     wx = _ext_geometry(3600, 16)[0]
-    assert wx == 3840  # lane-aligned compute width of the 3600-col domain
+    assert wx == 3712
 
     # headline scalar (tripolar land+area, h-space: area ext + post stream):
     # single whole-recurrence pass at the measured br=48 sweet spot

@@ -25,9 +25,19 @@ def test_dispatch_pin_warns_and_counts():
     data = np.random.default_rng(0).random((64, 64))
     ref = np.asarray(fn(data))  # healthy run populates the shape cache
 
-    # inject a compile failure for this shape
+    # inject a compile failure for this shape: the FIRST failure triggers
+    # one tightened-budget replan (round 4) — warn + count, result exact,
+    # and the shape recovers a real kernel rather than pinning
     key = (64, 64, str(np.asarray(ref).dtype))
     assert key in fn.shape_cache
+    fn.shape_cache[key] = (_raiser, {}, [])
+    with pytest.warns(PerformanceWarning, match="retrying once"):
+        out = np.asarray(fn(data))
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-14)
+    assert fallback_counts().get("pallas_replan_retry", 0) == 1
+    assert fn.shape_cache[key] != "xla"  # recovered, not pinned
+
+    # a SECOND failure for the same shape pins it to the XLA engine
     fn.shape_cache[key] = (_raiser, {}, [])
     with pytest.warns(PerformanceWarning, match="pinned to the XLA"):
         out = np.asarray(fn(data))
@@ -55,14 +65,25 @@ def test_vector_dispatch_pin_warns_and_counts():
     fn = filt._vector_fn()
     fu_ref, fv_ref = (np.asarray(a) for a in fn(u, v))
 
+    # first failure: one tightened-budget replan recovers a real kernel
     key = (64, 64, str(fu_ref.dtype))
     assert key in fn.shape_cache
+    fn.shape_cache[key] = (_raiser, [])
+    with pytest.warns(PerformanceWarning, match="retrying once"):
+        fu, fv = (np.asarray(a) for a in fn(u, v))
+    np.testing.assert_allclose(fu, fu_ref, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(fv, fv_ref, rtol=1e-12, atol=1e-14)
+    assert fallback_counts().get("pallas_replan_retry", 0) == 1
+    assert fn.shape_cache[key] not in (None, "xla")
+
+    # second failure: pin to the XLA engine
     fn.shape_cache[key] = (_raiser, [])
     with pytest.warns(PerformanceWarning, match="pinned to the XLA"):
         fu, fv = (np.asarray(a) for a in fn(u, v))
     np.testing.assert_allclose(fu, fu_ref, rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(fv, fv_ref, rtol=1e-12, atol=1e-14)
     assert fallback_counts().get("pallas_compile_fallback", 0) == 1
+    assert fn.shape_cache[key] == "xla"
 
 
 def test_sharded_pin_warns_and_counts():
