@@ -33,10 +33,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--chain", type=int, default=None)
+    # bf16 windows need 16-row sublane tiles; at the unaligned production
+    # width the kernels may not compile at all (pinned to XLA, marked by
+    # bf16_routed_to_xla) — the lane-aligned 3584 row answers whether bf16
+    # streams help where the kernels exist
+    ap.add_argument("--nx", type=int, default=None)
     args = ap.parse_args()
 
     dp._NARROW_BF16 = True  # opt-in: bf16 requests run the fused kernels
     ny, nx = (1200, 1800) if args.quick else (2400, 3600)
+    if args.nx:
+        nx = args.nx
     n_chain = args.chain or (5 if args.quick else 200)
     rng = np.random.default_rng(42)
     data = rng.random((ny, nx)).astype(np.float32)
@@ -61,7 +68,7 @@ def main():
         fn = filt._scalar_fn()
         x32 = jnp.asarray(data)
         x16 = jnp.asarray(data, dtype=jnp.bfloat16)
-        row = dict(config=name, n_steps=filt.n_steps)
+        row = dict(config=name, ny=ny, nx=nx, n_steps=filt.n_steps)
         # accuracy first (also warms both compiled artifacts)
         y32 = np.asarray(fn(x32), dtype=np.float64)
         y16 = np.asarray(fn(x16), dtype=np.float64)
@@ -93,7 +100,7 @@ def main():
         u32 = jnp.asarray(data)
         v32 = jnp.asarray(rng.random((ny, nx)).astype(np.float32))
         u16, v16 = (jnp.asarray(a, jnp.bfloat16) for a in (u32, v32))
-        row = dict(config=grid.name, n_steps=filt.n_steps)
+        row = dict(config=grid.name, ny=ny, nx=nx, n_steps=filt.n_steps)
         yu32, yv32 = (np.asarray(a, dtype=np.float64) for a in fn(u32, v32))
         yu16, yv16 = (np.asarray(a, dtype=np.float64) for a in fn(u16, v16))
         scale = max(float(np.max(np.abs(yu32))),
@@ -115,8 +122,15 @@ def main():
         out.append(row)
         print(json.dumps(row), flush=True)
 
-    with open(os.path.join(os.path.dirname(__file__), "sweep_bf16.json"),
-              "w") as f:
+    # merge by (config, domain): widths are swept in separate runs
+    path = os.path.join(os.path.dirname(__file__), "sweep_bf16.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        fresh = {(r["config"], r.get("ny"), r.get("nx")) for r in out}
+        out = [r for r in prior
+               if (r["config"], r.get("ny"), r.get("nx")) not in fresh] + out
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
 
