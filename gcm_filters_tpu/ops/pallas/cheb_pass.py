@@ -55,23 +55,30 @@ from ..stencil import ScalarStencil5
 _VMEM_BUDGET = 16 * 1024 * 1024
 
 # The v5e chip physically has 128 MB of VMEM; the pass kernels lift Mosaic's
-# cap via CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES). Sustained
-# (200-chain) round-2 measurements on the 2400x3600 headline:
-#   - light grids (<=3 ext streams): br=48 and br=96 are equal within noise
-#     (~110-120 G gps; the scalar kernel is VPU-bound, block size only moves
-#     the 1.3-1.5x trapezoid redundancy). Short-chain sweeps that showed
-#     150-200 G were tunnel dispatch-latency artifacts.
-#   - 5-coefficient grids (IRREGULAR/MOM5/POP): br=48+lift = 91 G beats
-#     both the old br=24@16MiB (82) and br=96+lift (58!) — too many live
-#     coefficient windows degrade Mosaic pipelining at large br, the same
-#     pattern as the vector kernels (C-grid taps peak at br=32).
-# So the scalar target is br=48 everywhere; the big VMEM-lift wins are the
-# coefficient-heavy paths (single-pass multi-coef scalar, taper multi-pass
-# 63->136 G, 3x C-grid / 1.7x B-grid in vec_pass.py). The dispatcher still
-# falls back to XLA if a planned kernel fails to compile (dispatch.py).
+# cap via CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES).
+#
+# Scalar single-pass block height: the round-2 "br=48 ~= br=96 within
+# noise" claim predates the offset-0 tail-wrap lane geometry and the
+# XLA-side lane extension; a round-5 on-chip sweep under the current
+# geometry (benchmarks/sweep_br.json, 200-apply chains, headline tripolar
+# 2400 rows) is monotone in br up to a cliff past the sweet spot:
+#   3600 (lane-extended wx=3712): 94 / 104 / 111 / 116 / 119 / 134 / 91 G
+#   3584 (aligned):              124 / 144 / 148 / 168 / 162 / 172 / 134 G
+#   at br =                       32 /  48 /  80 /  96 / 120 / 160 / 240
+# (br=200 probes: ~= br=160 at 3584, but 114 G at wx=3712 — Mosaic is
+# width-quirky at large blocks, the same pattern as the documented br=200
+# multi-pass overflow at wx=3712.) Trapezoid redundancy at halo=12 falls
+# 1.5x -> 1.15x from br=48 to br=160; past that, too-large blocks break
+# Mosaic's pipelining (the 240 cliff, worse at unaligned widths).
+# 5-coefficient grids (IRREGULAR/MOM5/POP) keep the 64-row cap: round-2
+# measured br=96 at 0.64x of br=48 for them (too many live coefficient
+# windows); at 2400 rows no divisor above 48 fits under the cap, so their
+# production plan is unchanged by this retune (round-5 probe: 92 G).
+# The dispatcher still falls back to XLA (with one tightened-budget
+# replan) if a planned kernel fails to compile on chip (dispatch.py).
 _VMEM_BUDGET_WIDE = 96 * 1024 * 1024
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
-_BR_TARGET_SCALAR = 48
+_BR_TARGET_SCALAR = 160
 
 COEF_NAMES = ("c", "n", "s", "e", "w")
 # Reflection across the tripolar seam swaps the meaning of the neighbors.
@@ -153,6 +160,26 @@ def _halo_mult(itemsize: int = 4) -> int:
     trapezoid. The tile is 8 rows for f32, 16 for bf16."""
     tile = _sublane_tile(itemsize)
     return tile if _DMA_WINDOWS else tile // 2
+
+
+def _strip_halo(br: int, halo: int, itemsize: int) -> int:
+    """Smallest halo' >= halo that divides br and is a sublane-tile
+    multiple — the eligibility condition for STRIP-shaped neighbor views
+    (round 5): when halo | br, the two neighbor reads of each field can be
+    streamed as (halo, nx) strip blocks instead of full (br, nx) blocks,
+    cutting first-pass field traffic from 3 to 1 + 2*halo/br streams
+    (e.g. 3.0 -> 1.2 at br=160/halo=16, ~62 MB/apply on the headline).
+    Capped at halo + 2 tiles: growing the halo inflates trapezoid
+    redundancy (VPU) and the ext-coefficient streams, so a distant
+    divisor costs more than the strip saving. Returns ``halo`` unchanged
+    if no divisor qualifies (full-block views are used instead)."""
+    tile = _sublane_tile(itemsize)
+    h = -(-halo // tile) * tile
+    while h <= min(br, halo + 2 * tile):
+        if br % h == 0:
+            return h
+        h += tile
+    return halo
 
 
 def _lane_width(nx: int, halo: int) -> int:
@@ -338,10 +365,18 @@ def plan_passes(
         ]
         if cands:
             br = min(cands, key=lambda b: (abs(b - _BR_TARGET_SCALAR), -b))
-            return PassPlan(br=br, halo=halo, steps=(n_steps,))
+            return PassPlan(br=br, halo=_strip_halo(br, halo, itemsize),
+                            steps=(n_steps,))
 
     best = None
-    for br in brs:
+    # Multi-pass candidates respect the same measured sweet-spot ceiling as
+    # the single-pass target: blocks past ~160 rows degrade Mosaic's
+    # pipelining (the br=240 cliff in benchmarks/sweep_br.json), and the
+    # cost model's VPU term would otherwise chase ever-larger blocks —
+    # round 4's br=200 taper plan was exactly the config that fails to
+    # compile at wx=3712 f32 and burned the one replan retry every run.
+    brs_mp = [b for b in brs if b <= _BR_TARGET_SCALAR] or brs[:1]
+    for br in brs_mp:
         # Largest per-pass step count allowed by this block height.
         h = min(max_fuse, n_steps, br)
         while h >= 1 and _vmem_rows(
@@ -378,7 +413,7 @@ def plan_passes(
     # multiple of 8 (sublane tile): unaligned windows measured ~1.5x slower.
     hm = halo_mult or _halo_mult(itemsize)
     halo = min(br, -(-max(steps) // hm) * hm)
-    return PassPlan(br=br, halo=halo, steps=steps)
+    return PassPlan(br=br, halo=_strip_halo(br, halo, itemsize), steps=steps)
 
 
 def _ext_col_index(nx: int, wx: int, halo: int) -> np.ndarray:
@@ -746,6 +781,14 @@ def _build_pass_call(cfg: _PassConfig):
     # grids finalize from acc alone, so don't stream the raw field for them.
     need_field_own = fuse and cfg.last_pass and not cfg.first_pass and cfg.drop_pre
     dma = _dma_on(cfg)
+    # Strip-shaped neighbor views (round 5): when the halo divides the
+    # block height (the planner's _strip_halo arranges this), the two
+    # neighbor reads stream (halo, nx) strips instead of full (br, nx)
+    # blocks — field traffic drops from 3 to 1 + 2*halo/br streams per
+    # field per pass. The assembled window is IDENTICAL (same rows), so
+    # the Pallas-vs-XLA exactness invariant is untouched.
+    strips = (not dma and cfg.br % cfg.halo == 0
+              and cfg.halo % _sublane_tile(npdt.itemsize) == 0)
     ny = cfg.ny
     ring = cfg.ring_axis is not None
     interp = jax.default_backend() != "tpu"
@@ -821,8 +864,8 @@ def _build_pass_call(cfg: _PassConfig):
 
         def window(views, mirror_ref):
             own, prev, nxt = views
-            lo = prev[br - halo :, :]
-            hi = nxt[:halo, :]
+            lo = prev[...] if strips else prev[br - halo :, :]
+            hi = nxt[...] if strips else nxt[:halo, :]
             if fold:
                 hi = jnp.where(i == nb - 1, mirror_ref[:halo, :], hi)
             return jnp.concatenate([lo, own[...], hi], axis=0)
@@ -936,6 +979,18 @@ def _build_pass_call(cfg: _PassConfig):
         return pl.BlockSpec((br, cfg.nx), index_map, memory_space=pltpu.VMEM)
 
     def views():
+        if strips:
+            # neighbor strips on the (ny/halo)-strip grid: prev = the halo
+            # rows just below the block, next = the halo rows just above
+            r = br // halo
+            nsb = nb * r
+            sblk = lambda im: pl.BlockSpec((halo, cfg.nx), im,
+                                           memory_space=pltpu.VMEM)
+            return [
+                blk(lambda i: (i, 0)),
+                sblk(lambda i: ((i * r - 1) % nsb, 0)),
+                sblk(lambda i: (((i + 1) * r) % nsb, 0)),
+            ]
         return [
             blk(lambda i: (i, 0)),
             blk(lambda i: ((i - 1) % nb, 0)),
@@ -1015,8 +1070,10 @@ def _build_pass_call(cfg: _PassConfig):
         scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=12 * cfg.n_ops * nb * win * cfg.nx,
-            bytes_accessed=(3 * cfg.n_fields + n_out + 1) * cfg.ny * cfg.nx
-            * npdt.itemsize + n_arrays * nb * win * cfg.nx * npdt.itemsize,
+            bytes_accessed=int(
+                ((1 + 2 * halo / br if strips else 3) * cfg.n_fields
+                 + n_out + 1) * cfg.ny * cfg.nx * npdt.itemsize
+            ) + n_arrays * nb * win * cfg.nx * npdt.itemsize,
             transcendentals=0,
         ),
         # lift Mosaic's default 16 MiB scoped-vmem cap (the chip has 128 MB;

@@ -30,15 +30,25 @@ def test_production_plan_pins():
     assert wx == 3712
 
     # headline scalar (tripolar land+area, h-space: area ext + post stream):
-    # single whole-recurrence pass at the measured br=48 sweet spot
+    # single whole-recurrence pass at the round-5 measured br=160 sweet
+    # spot (133.6 G at the production width vs 104 at the old br=48;
+    # benchmarks/sweep_br.json — br=240 is past the cliff at 91 G)
+    # halo 16 (not 12): _strip_halo grows the halo to a divisor of br so
+    # the neighbor views stream as (halo, nx) strips — field traffic
+    # 3 -> 1.2 streams at +4% trapezoid redundancy (round 5)
     assert plan_passes(2400, wx, 11, 1, True, 4) == PassPlan(
-        br=48, halo=12, steps=(11,))
-    # 5-coefficient grids (IRREGULAR/MOM5/POP): same single-pass shape
+        br=160, halo=16, steps=(11,))
+    # 5-coefficient grids (IRREGULAR/MOM5/POP): the heavy-coefficient cap
+    # (64) admits no divisor of 2400 above 48, so the plan stays at the
+    # round-2 measured br=48 — unchanged by the round-5 target retune
     assert plan_passes(2400, wx, 11, 7, True, 4) == PassPlan(
-        br=48, halo=12, steps=(11,))
-    # Taper (n_steps=39): balanced 3-way split
+        br=48, halo=16, steps=(11,))
+    # Taper (n_steps=39): balanced 3-way split at the same br=160 ceiling
+    # as single-pass (round 5: the old br=200 plan was the documented
+    # Mosaic compile failure at wx=3712 f32, burning the replan retry on
+    # every run; 160 compiles directly and matches the measured sweet spot)
     assert plan_passes(2400, wx, 39, 1, True, 4) == PassPlan(
-        br=200, halo=16, steps=(13, 13, 13))
+        br=160, halo=16, steps=(13, 13, 13))
     # coupled vector kernels: measured sweet spots br=32 (C) / br=40 (B)
     assert plan_ctap_passes(2400, 3600, 11, 4) == PassPlan(
         br=32, halo=12, steps=(11,))
@@ -74,4 +84,4 @@ def test_dispatch_derives_the_pinned_headline_plan():
               + int(hot.pre is not None))
     plan = plan_passes(ny, _ext_geometry(nx, 16)[0], filt.n_steps, n_coef,
                        hot.post is not None, 4)
-    assert plan == PassPlan(br=48, halo=12, steps=(11,))
+    assert plan == PassPlan(br=160, halo=16, steps=(11,))
