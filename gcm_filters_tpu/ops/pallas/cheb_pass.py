@@ -79,6 +79,11 @@ _VMEM_BUDGET = 16 * 1024 * 1024
 _VMEM_BUDGET_WIDE = 96 * 1024 * 1024
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 _BR_TARGET_SCALAR = 160
+# Kernel-side switch for the strip-shaped neighbor views (A/B harness:
+# benchmarks/sweep_strips.py patches this together with _strip_halo; the
+# strips engage only when the halo divides the block height, see
+# _build_pass_call).
+_STRIPS: bool = True
 
 COEF_NAMES = ("c", "n", "s", "e", "w")
 # Reflection across the tripolar seam swaps the meaning of the neighbors.
@@ -787,7 +792,7 @@ def _build_pass_call(cfg: _PassConfig):
     # blocks — field traffic drops from 3 to 1 + 2*halo/br streams per
     # field per pass. The assembled window is IDENTICAL (same rows), so
     # the Pallas-vs-XLA exactness invariant is untouched.
-    strips = (not dma and cfg.br % cfg.halo == 0
+    strips = (_STRIPS and not dma and cfg.br % cfg.halo == 0
               and cfg.halo % _sublane_tile(npdt.itemsize) == 0)
     ny = cfg.ny
     ring = cfg.ring_axis is not None

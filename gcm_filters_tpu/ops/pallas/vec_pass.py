@@ -74,6 +74,16 @@ _BR_TARGET_CTAP = 32
 _BR_TARGET_VEC = 40
 _BR_MAX = 48
 
+# Packed coefficient streams (round 5): stack the per-block extended
+# coefficient layouts into ONE (nb, n_ext, win, wx) array so each block's
+# coefficient data arrives as a single fully HBM-contiguous copy instead of
+# n_ext (10 B-grid / 18 C-grid) separate strided streams. Same bytes, same
+# values, same window rows — only the stream COUNT changes, which is what
+# the round-5 profile correction blames for the missing copy/compute
+# overlap in these kernels (benchmarks/README.md). A/B:
+# benchmarks/sweep_vecpack.py patches this flag.
+_PACK_COEF: bool = True
+
 
 def _coupled_rows(br: int, halo: int, n_ext: int, temps: int) -> int:
     """VMEM footprint model in nx-row units (double-buffered blocked streams
@@ -179,6 +189,17 @@ def plan_ctap_passes(ny, nx, n_steps, itemsize, max_fuse=16,
                          budget=budget)
 
 
+def _ext_layout(arrs: List[np.ndarray], plan: PassPlan) -> List[np.ndarray]:
+    """Extended-block layouts, packed into one stacked array when
+    ``_PACK_COEF`` (axis order (nb, n_ext, win, wx): each block's
+    coefficients are one contiguous HBM chunk)."""
+    wx = _ext_geometry(arrs[0].shape[-1], plan.halo)[0]
+    blocks = [ext_blocks_np(a, plan.br, plan.halo, wx=wx) for a in arrs]
+    if _PACK_COEF:
+        return [np.stack(blocks, axis=1)]
+    return blocks
+
+
 def host_vec_ext_inputs(
     op: BGridVectorStencil, plan: PassPlan, dtype, lap_scale: float
 ) -> List[np.ndarray]:
@@ -188,9 +209,7 @@ def host_vec_ext_inputs(
     neg2s = npdt.type(-2.0 * lap_scale)
     arrs = [np.asarray(getattr(op, k), dtype=npdt) * neg2s
             for k in (*_DIFF, *_MIX)]
-    wx = _ext_geometry(arrs[0].shape[-1], plan.halo)[0]
-    return [ext_blocks_np(a, plan.br, plan.halo, wx=wx)
-            for a in arrs]
+    return _ext_layout(arrs, plan)
 
 
 def host_ctap_ext_inputs(taps, plan: PassPlan, dtype, lap_scale: float):
@@ -200,9 +219,7 @@ def host_ctap_ext_inputs(taps, plan: PassPlan, dtype, lap_scale: float):
     neg2s = npdt.type(-2.0 * lap_scale)
     arrs = [np.asarray(taps[name], dtype=npdt) * neg2s
             for name in _CTAP_NAMES]
-    wx = _ext_geometry(arrs[0].shape[-1], plan.halo)[0]
-    return [ext_blocks_np(a, plan.br, plan.halo, wx=wx)
-            for a in arrs]
+    return _ext_layout(arrs, plan)
 
 
 def _bgrid_lap(c, g, gN, gS, gE, gW):
@@ -222,10 +239,14 @@ def _ctap_lap(c, g, gN, gS, gE, gW):
     """Tap-expanded C-grid contraction (coefficients pre-scaled).
 
     sh(a, dy, dx)[r, col] = a[r+dy, col+dx]; the two diagonal taps are
-    lane-rolls of already-shifted planes.
+    SUBLANE shifts of the already-lane-rolled planes (row permutations
+    commute with lane rolls, so e.g. north-shift(gW) == lane-roll(gN)
+    bitwise — but a sublane concat is a cheap vreg move where a 128-lane
+    roll is a cross-lane shuffle; round-5 on-chip A/B in
+    benchmarks/sweep_vecpack.json, diag arm).
     """
-    uNW = jnp.roll(gN[0], 1, axis=-1)   # u[j+1, i-1]
-    vSE = jnp.roll(gS[1], -1, axis=-1)  # v[j-1, i+1]
+    uNW = jnp.concatenate([gW[0][1:, :], gW[0][:1, :]], axis=0)  # u[j+1, i-1]
+    vSE = jnp.concatenate([gE[1][-1:, :], gE[1][:-1, :]], axis=0)  # v[j-1, i+1]
     lap_u = (
         c("CU_c") * g[0] + c("CU_w") * gW[0] + c("CU_e") * gE[0]
         + c("CU_s") * gS[0] + c("CU_n") * gN[0]
@@ -312,6 +333,9 @@ def _build_coupled_pass(
         # output is a free truncation (real columns sit at offset 0)
         return a[..., :out_nx] if out_nx else a
 
+    packed = _PACK_COEF  # snapshot: host layout + specs must agree
+    coef_idx = {k: j for j, k in enumerate(coef_names)}
+
     def kernel(p_ref, *refs):
         refs = list(refs)
         if dma:
@@ -322,7 +346,11 @@ def _build_coupled_pass(
                 [refs.pop(0) for _ in range(3)] for _ in range(n_fields)
             ]
         acc_ref = None if first_pass else refs.pop(0)
-        coef_refs = {k: refs.pop(0) for k in coef_names}
+        if packed:
+            coef_packed = refs.pop(0)
+            coef_refs = None
+        else:
+            coef_refs = {k: refs.pop(0) for k in coef_names}
         if last_pass:
             acc_out = refs.pop(0)
             w1_out = w2_out = None
@@ -369,6 +397,8 @@ def _build_coupled_pass(
             )
 
         def c(name):
+            if packed:
+                return coef_packed[0, coef_idx[name]]
             return coef_refs[name][0]
 
         def lap(t):
@@ -438,11 +468,19 @@ def _build_coupled_pass(
             in_specs += views()
     if not first_pass:
         in_specs.append(blk())
-    in_specs += [
-        pl.BlockSpec((1, win, nx), lambda i: (_pblk_map(i), 0, 0),
-                     memory_space=pltpu.VMEM)
-        for _ in range(len(coef_names))
-    ]
+    if packed:
+        # one stacked (n_ext, win, wx) chunk per block — fully contiguous
+        # in HBM by the (nb, n_ext, win, wx) host layout
+        in_specs.append(
+            pl.BlockSpec((1, len(coef_names), win, nx),
+                         lambda i: (_pblk_map(i), 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+    else:
+        in_specs += [
+            pl.BlockSpec((1, win, nx), lambda i: (_pblk_map(i), 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(len(coef_names))
+        ]
 
     # only the FINAL output truncates to the real columns; non-last
     # carries stay at the full kernel width (wraps refreshed by the caller)

@@ -152,16 +152,18 @@ def _sharded_run(ring_mesh, yax, ext_host, local_run, n_fields):
     The exts are the GLOBAL extended-block layouts sharded over their
     leading (block) axis: each shard holds exactly its blocks.
     """
-    ext_sharding = NamedSharding(ring_mesh, P(yax, None, None))
-    ext_dev = [jax.device_put(jnp.asarray(e), ext_sharding)
-               for e in ext_host]
+    # block axis 0 shards; trailing axes (rank 3 unpacked / rank 4 packed
+    # coefficient layouts, see vec_pass._ext_layout) replicate per shard
+    ext_specs = [P(yax, *([None] * (np.asarray(e).ndim - 1)))
+                 for e in ext_host]
+    ext_dev = [jax.device_put(jnp.asarray(e), NamedSharding(ring_mesh, s))
+               for e, s in zip(ext_host, ext_specs)]
     field_spec = P(yax, None)
     out_specs = field_spec if n_fields == 1 else (field_spec,) * n_fields
     run = shard_map(
         local_run,
         mesh=ring_mesh,
-        in_specs=(field_spec,) * n_fields
-        + (P(yax, None, None),) * len(ext_dev),
+        in_specs=(field_spec,) * n_fields + tuple(ext_specs),
         out_specs=out_specs,
         check_vma=False,
     )

@@ -840,10 +840,17 @@ def make_sharded_vector_apply(
             coef_src = {k: ext_op[k] for k in _coef_keys}
         else:
             coef_src = {k: getattr(ext_op, k) for k in _coef_keys}
-        return tuple(
+        exts = tuple(
             ext_blocks_jnp(pad(coef_src[k]).astype(dtype) * neg2s, br, khalo)
             for k in _coef_keys
         )
+        from ..ops.pallas.vec_pass import _PACK_COEF
+
+        if _PACK_COEF:
+            # one contiguous (nb, n_ext, win, wx) chunk per block — must
+            # match the kernel's packed BlockSpec (vec_pass._ext_layout)
+            return (jnp.stack(exts, axis=1),)
+        return exts
 
     def _local_pallas_2d(op, u: Array, v: Array, coef_exts=None):
         """Rounds with the coupled trapezoid pass as local compute (vector
@@ -978,8 +985,17 @@ def make_sharded_vector_apply(
 
         return (uacc, vacc) if is_ctap else op.finalize(uacc, vacc)
 
-    n_exts = len(_coef_keys) if _coef_keys is not None else 0
-    ext_spec = P(yax, None, xax)
+    # packed coefficient streams (vec_pass._PACK_COEF, snapshotted at
+    # apply-construction time): one stacked (nb, n_ext, win, wx) ext per
+    # operator instead of n_ext separate rank-3 layouts
+    from ..ops.pallas.vec_pass import _PACK_COEF as _pack_coef
+
+    if _coef_keys is not None and _pack_coef:
+        n_exts = 1
+        ext_spec = P(yax, None, None, xax)
+    else:
+        n_exts = len(_coef_keys) if _coef_keys is not None else 0
+        ext_spec = P(yax, None, xax)
 
     _pl_jit = {}
 
