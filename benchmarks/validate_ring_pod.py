@@ -90,9 +90,18 @@ def main():
         out["error"] = "ring ineligible for every candidate shape"
         print(json.dumps(out)); return 1
 
-    # 1. numerical gate
-    base = gf.Filter(**kw, use_pallas=True)
-    want = np.asarray(base.apply(data))
+    # 1. numerical gate — the unsharded reference must use the ring
+    # kernels' UNPACKED coefficient layout for the bitwise claim (the
+    # packed production layout is value-identical but FMA-contracts
+    # differently at the last bit; see tests/test_ring._unpacked_layout)
+    import gcm_filters_tpu.ops.pallas.cheb_pass as cpm
+
+    cpm._PACK_COEF = False
+    try:
+        base = gf.Filter(**kw, use_pallas=True)
+        want = np.asarray(base.apply(data))
+    finally:
+        cpm._PACK_COEF = True
     fin = np.isfinite(want)
     out["max_abs_err_vs_unsharded_pallas"] = float(
         np.max(np.abs(got[fin] - want[fin])))

@@ -56,7 +56,10 @@ def main():
     # single 2-D float32 apply routes through the in-kernel ring halo
     # exchange (make_async_remote_copy sends overlapping the interior
     # compute — zero XLA collectives in steady state) and matches the
-    # unsharded Pallas kernel bitwise. Engages automatically when eligible.
+    # unsharded Pallas kernel bitwise at the same coefficient layout
+    # (tests/test_ring.py; the packed production reference here can sit
+    # ~1 ulp off via XLA FMA contraction). Engages automatically when
+    # eligible.
     if n >= 2:
         ymesh = Mesh(np.array(devs).reshape(n, 1), ("y", "x"))
         ny_r = 96 * n  # block heights must tile each shard's rows

@@ -70,20 +70,33 @@ _VMEM_BUDGET = 16 * 1024 * 1024
 # multi-pass overflow at wx=3712.) Trapezoid redundancy at halo=12 falls
 # 1.5x -> 1.15x from br=48 to br=160; past that, too-large blocks break
 # Mosaic's pipelining (the 240 cliff, worse at unaligned widths).
-# 5-coefficient grids (IRREGULAR/MOM5/POP) keep the 64-row cap: round-2
-# measured br=96 at 0.64x of br=48 for them (too many live coefficient
-# windows); at 2400 rows no divisor above 48 fits under the cap, so their
-# production plan is unchanged by this retune (round-5 probe: 92 G).
+# 5-coefficient grids (IRREGULAR/MOM5/POP) plan at the same target now
+# that packed streams removed their pipelining cliff (see _BR_CAP_HEAVY).
 # The dispatcher still falls back to XLA (with one tightened-budget
 # replan) if a planned kernel fails to compile on chip (dispatch.py).
 _VMEM_BUDGET_WIDE = 96 * 1024 * 1024
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 _BR_TARGET_SCALAR = 160
+# Heavy-coefficient (>=4 array coefficients) block-height cap, UNPACKED
+# streams only: many separate live coefficient streams degrade Mosaic
+# pipelining at large br (round-2 measured br=96 at 0.64x of br=48 for
+# the 5-coef grids). With PACKED streams (_PACK_COEF, the default) the
+# cliff is gone — the round-5 on-chip sweep (sweep_pack_heavy.json) is
+# monotone-improving to br=160 (104.2 G vs 89.7 at br=48, +16% on
+# IRREGULAR), so packed planning uses the ordinary 512 cap/target.
+_BR_CAP_HEAVY = 64
 # Kernel-side switch for the strip-shaped neighbor views (A/B harness:
 # benchmarks/sweep_strips.py patches this together with _strip_halo; the
 # strips engage only when the halo divides the block height, see
 # _build_pass_call).
 _STRIPS: bool = True
+# Packed extended-coefficient streams (round 5, same mechanism as
+# vec_pass._PACK_COEF): when a pass streams >= 2 extended windows
+# (coefficients + pre/post/area), stack them into ONE
+# (nb, n_ext, win, wx) array so each block's windows arrive as a single
+# fully HBM-contiguous copy instead of n_ext separate strided streams.
+# Same bytes, same values, same window rows. A/B: benchmarks/sweep_pack.py.
+_PACK_COEF: bool = True
 
 COEF_NAMES = ("c", "n", "s", "e", "w")
 # Reflection across the tripolar seam swaps the meaning of the neighbors.
@@ -350,7 +363,8 @@ def plan_passes(
     # height — many live coefficient windows degrade pipelining at large br
     # (measured: 5-coef br=96 runs 0.64x of br=48).
     tile = _sublane_tile(itemsize)
-    br_cap = min(ny, 512 if n_coef < 4 else 64)
+    heavy = n_coef >= 4 and not _PACK_COEF
+    br_cap = min(ny, _BR_CAP_HEAVY if heavy else 512)
     brs = [b for b in range(tile, br_cap + 1, tile) if ny % b == 0]
     if br_divides is not None:
         # ring mode: the block height must divide the LOCAL rows with at
@@ -799,6 +813,22 @@ def _build_pass_call(cfg: _PassConfig):
     interp = jax.default_backend() != "tpu"
     if ring:
         assert dma and nb >= 2 and cfg.ring_size >= 2
+    # Packed extended streams (_PACK_COEF): index layout mirrors the
+    # unpacked pop order below (coefficients, then pre/post/area) and the
+    # host_ext_inputs append order.
+    ext_names = list(coef_names)
+    if cfg.has_pre:
+        ext_names.append("pre")
+    if has_post:
+        ext_names.append("post")
+    if fuse and cfg.has_area:
+        ext_names.append("area")
+    # Ring kernels stay UNPACKED: the ring path's bitwise-vs-unsharded
+    # validation requires both sides to share one coefficient layout, and
+    # packing perturbs XLA's FMA contraction at the last bit (measured on
+    # CPU interpret; packed vs unpacked agree to roundoff, not bitwise).
+    packed = _PACK_COEF and cfg.ring_axis is None and len(ext_names) >= 2
+    ext_idx = {k: j for j, k in enumerate(ext_names)}
 
     def kernel(p_ref, *refs):
         refs = list(refs)
@@ -812,10 +842,15 @@ def _build_pass_call(cfg: _PassConfig):
         acc_ref = None if cfg.first_pass else refs.pop(0)
         field_own_ref = refs.pop(0) if need_field_own else None
         mirrors = [refs.pop(0) for _ in range(cfg.n_fields)] if fold else []
-        coef_refs = {k: refs.pop(0) for k in coef_names}
-        pre_ref = refs.pop(0) if cfg.has_pre else None
-        post_ref = refs.pop(0) if has_post else None
-        area_ref = refs.pop(0) if (fuse and cfg.has_area) else None
+        if packed:
+            ext_ref = refs.pop(0)
+            coef_refs = pre_ref = post_ref = area_ref = None
+        else:
+            ext_ref = None
+            coef_refs = {k: refs.pop(0) for k in coef_names}
+            pre_ref = refs.pop(0) if cfg.has_pre else None
+            post_ref = refs.pop(0) if has_post else None
+            area_ref = refs.pop(0) if (fuse and cfg.has_area) else None
         if cfg.last_pass:
             acc_out = refs.pop(0)
             t1_out = t2_out = None
@@ -875,12 +910,19 @@ def _build_pass_call(cfg: _PassConfig):
                 hi = jnp.where(i == nb - 1, mirror_ref[:halo, :], hi)
             return jnp.concatenate([lo, own[...], hi], axis=0)
 
-        post = post_ref[0] if has_post else None
-        pre = pre_ref[0] if cfg.has_pre else None
+        def ext(name):
+            return ext_ref[0, ext_idx[name]]
+
+        if packed:
+            post = ext("post") if has_post else None
+            pre = ext("pre") if cfg.has_pre else None
+        else:
+            post = post_ref[0] if has_post else None
+            pre = pre_ref[0] if cfg.has_pre else None
 
         def coef(k):
-            if k in coef_refs:
-                return coef_refs[k][0]
+            if k in ext_idx:
+                return ext(k) if packed else coef_refs[k][0]
             return consts[k]
 
         # NOTE (round-3 on-chip A/B, 6 interleaved reps): factoring equal
@@ -909,7 +951,10 @@ def _build_pass_call(cfg: _PassConfig):
             return out
 
         own = slice(halo, halo + br)
-        area = area_ref[0] if (fuse and cfg.has_area) else None
+        if fuse and cfg.has_area:
+            area = ext("area") if packed else area_ref[0]
+        else:
+            area = None
         fbar_w = None
 
         def field_window(fi):
@@ -1022,11 +1067,20 @@ def _build_pass_call(cfg: _PassConfig):
         ]
     n_ext = (len(coef_names) + int(cfg.has_pre) + int(has_post)
              + int(fuse and cfg.has_area))
-    in_specs += [
-        pl.BlockSpec((1, win, cfg.nx), lambda i: (_pblk_map(i), 0, 0),
-                     memory_space=pltpu.VMEM)
-        for _ in range(n_ext)
-    ]
+    assert n_ext == len(ext_names)
+    if packed:
+        # one stacked (n_ext, win, wx) chunk per block — fully contiguous
+        # in HBM by the (nb, n_ext, win, wx) host layout (host_ext_inputs)
+        in_specs.append(
+            pl.BlockSpec((1, n_ext, win, cfg.nx),
+                         lambda i: (_pblk_map(i), 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+    else:
+        in_specs += [
+            pl.BlockSpec((1, win, cfg.nx), lambda i: (_pblk_map(i), 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_ext)
+        ]
 
     # non-last outputs stay at the full kernel width (the caller refreshes
     # wrap strips between passes); ONLY the final output truncates to the
@@ -1189,7 +1243,7 @@ def build_cheb_pass(
 
 def host_ext_inputs(
     stencil: ScalarStencil5, plan: PassPlan, ny: int, nx: int, dtype,
-    lap_scale: float,
+    lap_scale: float, packed: Optional[bool] = None,
 ) -> List[np.ndarray]:
     """The extended-block coefficient arrays for :func:`build_cheb_pass`.
 
@@ -1230,6 +1284,12 @@ def host_ext_inputs(
     if stencil.area is not None:
         area = np.asarray(stencil.area, dtype=npdt)  # area is NOT scaled
         out.append(ext_blocks_np(area, br, halo, fold, area, wx=wx))
+    if packed is None:
+        packed = _PACK_COEF
+    if packed and len(out) >= 2:
+        # one contiguous (nb, n_ext, win, wx) chunk per block — must match
+        # the kernel's packed BlockSpec (_build_pass_call)
+        return [np.stack(out, axis=1)]
     return out
 
 

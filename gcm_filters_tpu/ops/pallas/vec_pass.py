@@ -189,19 +189,22 @@ def plan_ctap_passes(ny, nx, n_steps, itemsize, max_fuse=16,
                          budget=budget)
 
 
-def _ext_layout(arrs: List[np.ndarray], plan: PassPlan) -> List[np.ndarray]:
+def _ext_layout(arrs: List[np.ndarray], plan: PassPlan,
+                packed: Optional[bool] = None) -> List[np.ndarray]:
     """Extended-block layouts, packed into one stacked array when
     ``_PACK_COEF`` (axis order (nb, n_ext, win, wx): each block's
-    coefficients are one contiguous HBM chunk)."""
+    coefficients are one contiguous HBM chunk). ``packed`` overrides the
+    flag (ring mode forces unpacked, see _build_coupled_pass)."""
     wx = _ext_geometry(arrs[0].shape[-1], plan.halo)[0]
     blocks = [ext_blocks_np(a, plan.br, plan.halo, wx=wx) for a in arrs]
-    if _PACK_COEF:
+    if _PACK_COEF if packed is None else packed:
         return [np.stack(blocks, axis=1)]
     return blocks
 
 
 def host_vec_ext_inputs(
-    op: BGridVectorStencil, plan: PassPlan, dtype, lap_scale: float
+    op: BGridVectorStencil, plan: PassPlan, dtype, lap_scale: float,
+    packed: Optional[bool] = None,
 ) -> List[np.ndarray]:
     """Extended-block layouts of the ten B-grid coefficient arrays,
     pre-scaled by -2*lap_scale (the pass kernels' coefficient convention)."""
@@ -209,17 +212,18 @@ def host_vec_ext_inputs(
     neg2s = npdt.type(-2.0 * lap_scale)
     arrs = [np.asarray(getattr(op, k), dtype=npdt) * neg2s
             for k in (*_DIFF, *_MIX)]
-    return _ext_layout(arrs, plan)
+    return _ext_layout(arrs, plan, packed)
 
 
-def host_ctap_ext_inputs(taps, plan: PassPlan, dtype, lap_scale: float):
+def host_ctap_ext_inputs(taps, plan: PassPlan, dtype, lap_scale: float,
+                         packed: Optional[bool] = None):
     """Extended-block layouts of the 18 tap arrays (ops/ctaps.py order),
     pre-scaled by -2*lap_scale."""
     npdt = np.dtype(dtype)
     neg2s = npdt.type(-2.0 * lap_scale)
     arrs = [np.asarray(taps[name], dtype=npdt) * neg2s
             for name in _CTAP_NAMES]
-    return _ext_layout(arrs, plan)
+    return _ext_layout(arrs, plan, packed)
 
 
 def _bgrid_lap(c, g, gN, gS, gE, gW):
@@ -333,7 +337,10 @@ def _build_coupled_pass(
         # output is a free truncation (real columns sit at offset 0)
         return a[..., :out_nx] if out_nx else a
 
-    packed = _PACK_COEF  # snapshot: host layout + specs must agree
+    # Ring kernels stay UNPACKED (see cheb_pass._build_pass_call: the
+    # bitwise ring-vs-unsharded validation requires one shared layout,
+    # and packing perturbs FMA contraction at the last bit).
+    packed = _PACK_COEF and ring_axis is None
     coef_idx = {k: j for j, k in enumerate(coef_names)}
 
     def kernel(p_ref, *refs):

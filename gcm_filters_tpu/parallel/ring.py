@@ -236,7 +236,10 @@ def make_ring_scalar_apply(
 
         return _sharded_run(
             ring_mesh, yax,
-            host_ext_inputs(hot_host, plan, ny, nx, dtype, scale),
+            # packed=False: ring kernels keep the unpacked layout so the
+            # bitwise-vs-unsharded validation stays layout-consistent
+            host_ext_inputs(hot_host, plan, ny, nx, dtype, scale,
+                            packed=False),
             local_run, n_fields=1,
         )
 
@@ -330,9 +333,11 @@ def make_ring_vector_apply(
             return None
 
         if is_ctap:
-            ext_host = host_ctap_ext_inputs(_taps(), plan, dtype, scale)
+            ext_host = host_ctap_ext_inputs(_taps(), plan, dtype, scale,
+                                            packed=False)
         else:
-            ext_host = host_vec_ext_inputs(operator, plan, dtype, scale)
+            ext_host = host_vec_ext_inputs(operator, plan, dtype, scale,
+                                           packed=False)
 
         def local_run(u, v, *exts):
             # prepare/finalize are identity for both vector operators

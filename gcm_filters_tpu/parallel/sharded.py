@@ -282,6 +282,12 @@ def local_scalar_coef_exts(
         coef_exts.append(
             ext_blocks_jnp(pad(ext_st.area).astype(dtype), br, khalo)
         )
+    from ..ops.pallas.cheb_pass import _PACK_COEF
+
+    if _PACK_COEF and len(coef_exts) >= 2:
+        # one contiguous (nb, n_ext, win, wx) chunk per block — must match
+        # the kernel's packed BlockSpec (cheb_pass._build_pass_call)
+        return (jnp.stack(coef_exts, axis=1),)
     return tuple(coef_exts)
 
 
@@ -507,7 +513,16 @@ def make_sharded_scalar_apply(
     n_exts = (len(host_coef_names) + int(keep_pre)
               + int(stencil.post is not None)
               + int(stencil.area is not None))  # area rides the ext blocks
-    ext_spec = P(yax, None, xax)
+    # packed coefficient streams (cheb_pass._PACK_COEF, snapshotted at
+    # apply-construction time): >= 2 ext windows ride as one stacked
+    # rank-4 (nb, n_ext, win, wx) array (local_scalar_coef_exts)
+    from ..ops.pallas.cheb_pass import _PACK_COEF as _pack_coef
+
+    if _pack_coef and n_exts >= 2:
+        n_exts = 1
+        ext_spec = P(yax, None, None, xax)
+    else:
+        ext_spec = P(yax, None, xax)
 
     _plan_cache = {}
 

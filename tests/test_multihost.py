@@ -158,6 +158,8 @@ _RING_WORKER = textwrap.dedent(
     full = multihost_utils.process_allgather(out, tiled=True)
     if pid == 0:
         from gcm_filters_tpu.ops.pallas import make_pallas_scalar_apply
+        import gcm_filters_tpu.ops.pallas.cheb_pass as cpm
+        cpm._PACK_COEF = False  # layout-match the (unpacked) ring kernels
         want = np.asarray(make_pallas_scalar_apply(
             filt.operator, filt.filter_spec)(np.asarray(data)))
         err = float(np.abs(np.asarray(full) - want).max())

@@ -38,11 +38,13 @@ def test_production_plan_pins():
     # 3 -> 1.2 streams at +4% trapezoid redundancy (round 5)
     assert plan_passes(2400, wx, 11, 1, True, 4) == PassPlan(
         br=160, halo=16, steps=(11,))
-    # 5-coefficient grids (IRREGULAR/MOM5/POP): the heavy-coefficient cap
-    # (64) admits no divisor of 2400 above 48, so the plan stays at the
-    # round-2 measured br=48 — unchanged by the round-5 target retune
+    # 5-coefficient grids (IRREGULAR/MOM5/POP): packed coefficient streams
+    # (round 5) removed the heavy-coefficient pipelining cliff, so these
+    # now plan at the common br=160 sweet spot too (on-chip sweep
+    # benchmarks/sweep_pack_heavy.json: 104.2 G at br=160 vs 89.7 at the
+    # old br=48 cap, monotone-improving, kernel executed, no fallbacks)
     assert plan_passes(2400, wx, 11, 7, True, 4) == PassPlan(
-        br=48, halo=16, steps=(11,))
+        br=160, halo=16, steps=(11,))
     # Taper (n_steps=39): balanced 3-way split at the same br=160 ceiling
     # as single-pass (round 5: the old br=200 plan was the documented
     # Mosaic compile failure at wx=3712 f32, burning the replan retry on

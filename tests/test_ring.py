@@ -9,6 +9,8 @@ exactly the rows the unsharded kernel would see, the sharded result must be
 BITWISE identical to the single-device Pallas kernel. f32 throughout (the
 ring DMA gate requires 4-byte elements).
 """
+from contextlib import contextmanager
+
 import numpy as np
 import pytest
 
@@ -36,6 +38,27 @@ def _remote_spy(monkeypatch):
 
     monkeypatch.setattr(cp.pltpu, "make_async_remote_copy", spy)
     return count
+
+
+@contextmanager
+def _unpacked_layout():
+    """Build an unsharded reference with the UNPACKED coefficient layout.
+
+    Ring kernels always run unpacked (cheb_pass._build_pass_call): the
+    bitwise ring-vs-unsharded claim holds at a fixed layout. The packed
+    production layout is value-identical but XLA contracts its FMAs
+    differently at the last bit (same phenomenon as the exact-NaN note
+    below), so the bitwise reference must be built inside this context —
+    including the first CALL, which triggers the dispatcher's lazy build."""
+    import gcm_filters_tpu.ops.pallas.cheb_pass as cpm
+    import gcm_filters_tpu.ops.pallas.vec_pass as vpm
+
+    old = cpm._PACK_COEF, vpm._PACK_COEF
+    cpm._PACK_COEF = vpm._PACK_COEF = False
+    try:
+        yield
+    finally:
+        cpm._PACK_COEF, vpm._PACK_COEF = old
 
 
 @pytest.mark.parametrize("p_y", [4, 8])
@@ -69,7 +92,9 @@ def test_ring_matches_unsharded_pallas_bitwise(monkeypatch, p_y):
         got = rf(data)
         assert got is not None, (gt, n_steps)
         assert len(count) > n0, "ring kernel issued no remote copies"
-        want = make_pallas_scalar_apply(filt.operator, filt.filter_spec)(data)
+        with _unpacked_layout():
+            want = make_pallas_scalar_apply(
+                filt.operator, filt.filter_spec)(data)
         np.testing.assert_array_equal(
             np.asarray(got), np.asarray(want), err_msg=f"{gt} {n_steps}")
 
@@ -126,7 +151,8 @@ def test_ring_two_blocks_per_shard_window_taller_than_shard(monkeypatch):
     data = jnp.asarray(rng.random((ny, nx)), dtype=jnp.float32)
     got = rf(data)
     assert got is not None and count
-    want = make_pallas_scalar_apply(filt.operator, filt.filter_spec)(data)
+    with _unpacked_layout():
+        want = make_pallas_scalar_apply(filt.operator, filt.filter_spec)(data)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
@@ -222,7 +248,8 @@ def test_ring_vector_matches_unsharded_pallas_bitwise(
     v = jnp.asarray(rng.random((ny, nx)), dtype=jnp.float32)
     res = rf(u, v)
     assert res is not None and count, (gt_name, n_steps)
-    want = make_pallas_vector_apply(filt.operator, filt.filter_spec)(u, v)
+    with _unpacked_layout():
+        want = make_pallas_vector_apply(filt.operator, filt.filter_spec)(u, v)
     for got_c, want_c, name in zip(res, want, "uv"):
         np.testing.assert_array_equal(
             np.asarray(got_c), np.asarray(want_c),
@@ -288,8 +315,9 @@ def test_ring_exact_nan_mode(monkeypatch):
     data = jnp.asarray(arr, dtype=jnp.float32)
     got = rf(data)
     assert got is not None and count
-    want = make_pallas_scalar_apply(
-        filt.operator, filt.filter_spec, exact_nan=True)(data)
+    with _unpacked_layout():
+        want = make_pallas_scalar_apply(
+            filt.operator, filt.filter_spec, exact_nan=True)(data)
     got, want = np.asarray(got), np.asarray(want)
     assert (np.isnan(got) == np.isnan(want)).all()
     fin = np.isfinite(want)
