@@ -70,15 +70,24 @@ def scalar_model(filt, ny, nx, dt, itemsize=4):
     fb = ny * nx * itemsize  # one field stream, bytes
     n_ext = n_coef + int(has_post)
 
+    # Field view streams per field per pass: 3 full blocks (own/prev/next),
+    # or 1 + 2*halo/br once the strip-shaped neighbor views engage
+    # (round 5, cheb_pass._STRIPS: halo divides br and is sublane-aligned).
+    from gcm_filters_tpu.ops.pallas.cheb_pass import _STRIPS, _sublane_tile
+
+    strips = (_STRIPS and br % halo == 0
+              and halo % _sublane_tile(itemsize) == 0)
+    s = (1 + 2 * halo / br) if strips else 3
+
     # HBM bytes per apply (see module docstring for the stream accounting).
     n_pass = len(plan.steps)
     if n_pass == 1:
-        hbm = fb * (3 + 1) + n_ext * fb * red
+        hbm = fb * (s + 1) + n_ext * fb * red
     else:
-        hbm = (fb * (3 + 3) + n_ext * fb * red)          # first pass
-        hbm += (n_pass - 2) * (fb * (7 + 3) + n_ext * fb * red)  # middle
+        hbm = (fb * (s + 3) + n_ext * fb * red)          # first pass
+        hbm += (n_pass - 2) * (fb * (2 * s + 1 + 3) + n_ext * fb * red)
         last_extra = 1 if (drop_pre and hot.area is not None) else 0
-        hbm += fb * (7 + last_extra + 1) + n_ext * fb * red      # last
+        hbm += fb * (2 * s + 1 + last_extra + 1) + n_ext * fb * red  # last
 
     # VPU ops per cell per step: 4 neighbor materializations (2 sublane
     # concats + 2 lane rolls), 5 coefficient FMAs, post multiply, optional
@@ -120,8 +129,11 @@ def vector_model(filt, ny, nx, dt, itemsize=4):
 
     # Ops per PAIR-cell per step: 4 neighbor shifts of the 2-plane window
     # (8), NaN scrub of 2 planes (2), recurrence+accumulate on 2 planes (6),
-    # plus the contraction: C-grid = 18 tap FMAs + 2 diagonal lane-rolls;
-    # B-grid = diffusion 5x2 + mixing 5x2 FMAs + the u<->v stack swap (~2).
+    # plus the contraction: C-grid = 18 tap FMAs + 2 diagonal sublane
+    # shifts (round 5: sublane shifts of the lane-rolled planes, ~11%
+    # faster on chip than the old diagonal lane-rolls but the same count
+    # in this issue-rate model); B-grid = diffusion 5x2 + mixing 5x2 FMAs
+    # + the u<->v stack swap (~2).
     ops_pair = (8 + 2 + 6) + (18 + 2 if is_ctap else 10 + 10 + 2)
     ops = filt.n_steps * red * ny * nx * ops_pair
 

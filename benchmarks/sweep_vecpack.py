@@ -59,15 +59,20 @@ def main():
     configs = [
         (G.VECTOR_C_GRID, "_BR_TARGET_CTAP", [32] if args.quick
          else [32, 48]),
+        # br=64: single-pass fits the VMEM model for the lighter B-grid
+        # only once packed streams cut the live-stream count (the round-4
+        # _BR_MAX=48 cap predates packing)
         (G.VECTOR_B_GRID, "_BR_TARGET_VEC", [40] if args.quick
-         else [40, 48]),
+         else [40, 48, 64]),
     ]
     out = []
+    real_br_max = vp._BR_MAX
     try:
         for grid, tgt_name, targets in configs:
             gv = grid_vars_for(grid, ny, nx, rng)
             for tgt in targets:
                 setattr(vp, tgt_name, tgt)
+                vp._BR_MAX = max(real_br_max, tgt)
                 arms = {}
                 for arm in ("packed", "separate"):
                     vp._PACK_COEF = arm == "packed"
@@ -106,6 +111,7 @@ def main():
         vp._PACK_COEF = True
         vp._BR_TARGET_CTAP = 32
         vp._BR_TARGET_VEC = 40
+        vp._BR_MAX = real_br_max
 
     with open(os.path.join(os.path.dirname(__file__), "sweep_vecpack.json"),
               "w") as f:
